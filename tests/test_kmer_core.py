@@ -1,0 +1,112 @@
+"""Core k-mer bit math vs the NumPy/python oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from metafast_tpu.core import bitpack as bp
+from metafast_tpu.core.extract import extract_canonical
+from metafast_tpu.ops.count import KmerCounter, count_flat
+from metafast_tpu.oracle import reference as oracle
+
+
+def split64(v):
+    v = np.asarray(v, dtype=np.uint64)
+    return (v >> np.uint64(32)).astype(np.uint32), (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def join64(hi, lo):
+    return (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(lo, dtype=np.uint64)
+
+
+def rand_kmers(rng, n, k):
+    return rng.integers(0, 1 << (2 * k), size=n, dtype=np.uint64)
+
+
+@pytest.mark.parametrize("k", [1, 2, 5, 15, 16, 17, 21, 31])
+def test_rc_matches_oracle(k):
+    rng = np.random.default_rng(0)
+    vals = rand_kmers(rng, 64, k)
+    hi, lo = split64(vals)
+    rhi, rlo = bp.rc(jnp.asarray(hi), jnp.asarray(lo), k)
+    got = join64(np.asarray(rhi), np.asarray(rlo))
+    want = np.array([oracle.rc64(int(v), k) for v in vals], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [2, 15, 16, 17, 31])
+def test_shift_and_nuc_ops(k):
+    rng = np.random.default_rng(1)
+    vals = rand_kmers(rng, 32, k)
+    nucs = rng.integers(0, 4, size=32)
+    hi, lo = split64(vals)
+    hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+
+    shr_hi, shr_lo = bp.shift_right(hi, lo, jnp.asarray(nucs, dtype=jnp.uint32), k)
+    want = np.array([oracle._shift_right(int(v), int(n), k) for v, n in zip(vals, nucs)],
+                    dtype=np.uint64)
+    np.testing.assert_array_equal(join64(np.asarray(shr_hi), np.asarray(shr_lo)), want)
+
+    shl_hi, shl_lo = bp.shift_left(hi, lo, jnp.asarray(nucs, dtype=jnp.uint32), k)
+    want = np.array([oracle._shift_left(int(v), int(n), k) for v, n in zip(vals, nucs)],
+                    dtype=np.uint64)
+    np.testing.assert_array_equal(join64(np.asarray(shl_hi), np.asarray(shl_lo)), want)
+
+    fn = np.asarray(bp.first_nuc(hi, lo, k))
+    want = np.array([(int(v) >> (2 * k - 2)) & 3 for v in vals])
+    np.testing.assert_array_equal(fn, want)
+
+    ln = np.asarray(bp.last_nuc(lo))
+    np.testing.assert_array_equal(ln, vals.astype(np.uint64) & np.uint64(3))
+
+
+@pytest.mark.parametrize("k", [3, 16, 17, 31])
+def test_extract_canonical_matches_oracle(k):
+    rng = np.random.default_rng(2)
+    B, L = 8, 40
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    lengths = rng.integers(0, L + 1, size=B, dtype=np.int32)
+
+    hi, lo, valid = extract_canonical(jnp.asarray(codes), jnp.asarray(lengths), k)
+    hi, lo, valid = np.asarray(hi), np.asarray(lo), np.asarray(valid)
+
+    for b in range(B):
+        want = oracle.canonical_kmers(codes[b, : lengths[b]], k)
+        got = join64(hi[b], lo[b])[valid[b]]
+        np.testing.assert_array_equal(got, np.array(want, dtype=np.uint64))
+        # invalid slots are sentinel
+        assert np.all(hi[b][~valid[b]] == bp.SENTINEL)
+
+
+@pytest.mark.parametrize("k", [5, 17, 31])
+def test_counting_matches_oracle(k):
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("AGCT"), size=rng.integers(k, 60)))
+             for _ in range(50)]
+    want = oracle.count_reads(reads, k)
+
+    counter = KmerCounter(k, capacity=1 << 8)
+    for chunk in (reads[:20], reads[20:]):
+        L = max(len(s) for s in chunk)
+        codes = np.zeros((len(chunk), L), dtype=np.uint8)
+        lengths = np.zeros(len(chunk), dtype=np.int32)
+        for i, s in enumerate(chunk):
+            enc = oracle.encode_seq(s)
+            codes[i, : len(enc)] = enc
+            lengths[i] = len(enc)
+        counter.add_batch(codes, lengths)
+
+    keys, counts = counter.finish()
+    got = dict(zip(keys.tolist(), counts.tolist()))
+    assert got == want
+    # sorted ascending unique
+    assert np.all(np.diff(keys) > 0)
+
+
+def test_count_flat_saturates():
+    hi = jnp.zeros((40000,), dtype=jnp.uint32)
+    lo = jnp.full((40000,), 7, dtype=jnp.uint32)
+    uhi, ulo, cnt = count_flat(hi, lo)
+    assert int(cnt[0]) == 32767
+    assert int(jnp.sum(cnt > 0)) == 1
