@@ -1,0 +1,95 @@
+"""High-level host API tying I/O, device kernels, and graph algorithms.
+
+These are the operations the CLI tools compose; they are also the stable
+programmatic surface for library users.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import bitpack as bp
+from .io import binfmt, reads as readsio
+from .ops.count import KmerCounter
+
+
+def split_keys(keys64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    u = np.asarray(keys64, dtype=np.int64).astype(np.uint64)
+    return (u >> np.uint64(32)).astype(np.uint32), (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def join_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    return ((np.asarray(hi, dtype=np.uint64) << np.uint64(32))
+            | np.asarray(lo, dtype=np.uint64)).astype(np.int64)
+
+
+def count_reads_files(files: list[str], k: int, min_len: int = 0,
+                      batch_reads: int = 8192, progress=None):
+    """Canonical k-mer counts over read/sequence files (one sample).
+
+    Parity: IOUtils.loadReads (src/io/IOUtils.java:742-803) — all files
+    accumulate into one table; reads shorter than min_len or containing
+    invalid characters are skipped; counts saturate at 32767.
+
+    Returns (keys int64 sorted, counts int32, stats dict).
+    """
+    counter = KmerCounter(k, capacity=1 << 16)
+    n_reads = 0
+    n_skipped = 0
+    for path in files:
+        last = None
+        for batch in readsio.read_batches(path, batch_reads=batch_reads,
+                                          min_len=min_len):
+            counter.add_batch(batch.codes, batch.lengths)
+            last = batch
+            if progress is not None:
+                progress(path, batch)
+        if last is not None:
+            n_reads += last.n_total
+            n_skipped += last.n_skipped
+    keys, counts = counter.finish()
+    stats = dict(reads=n_reads, skipped=n_skipped,
+                 kmers_seen=counter.total_kmers_seen, unique=len(keys))
+    return keys, counts, stats
+
+
+def load_kmers_bin(files: list[str], threshold: int):
+    """Load + merge k-mer binary files, keeping records with count > threshold.
+
+    Parity: IOUtils.loadKmers (src/io/IOUtils.java:369-401): the per-record
+    filter applies *before* merging; merged counts saturate at 32767.
+
+    Returns (keys int64 sorted, counts int32).
+    """
+    tables = []
+    for path in files:
+        keys, counts = binfmt.read_kmers_bin(path)
+        keep = counts > threshold
+        tables.append((keys[keep], counts[keep]))
+    if len(tables) == 1:
+        keys, counts = tables[0]
+        order = np.argsort(keys, kind="stable")
+        return keys[order], np.minimum(counts[order], 32767).astype(np.int32)
+    # saturating merge across files
+    allk = np.concatenate([t[0] for t in tables])
+    allc = np.concatenate([t[1] for t in tables]).astype(np.int64)
+    order = np.argsort(allk, kind="stable")
+    allk, allc = allk[order], allc[order]
+    uniq, start = np.unique(allk, return_index=True)
+    sums = np.add.reduceat(allc, start)
+    return uniq, np.minimum(sums, 32767).astype(np.int32)
+
+
+def presence_counts(component_keys: np.ndarray, sample_keys: np.ndarray,
+                    sample_counts: np.ndarray) -> np.ndarray:
+    """Per-key sample count for keys present in the sample, else 0.
+
+    Parity: IOUtils.calculatePresenceForKmers (src/io/IOUtils.java:577-597).
+    Both key arrays must be int64; sample_keys sorted.
+    """
+    idx = np.searchsorted(sample_keys, component_keys)
+    idx = np.clip(idx, 0, max(len(sample_keys) - 1, 0))
+    if len(sample_keys) == 0:
+        return np.zeros(len(component_keys), dtype=np.int64)
+    hit = sample_keys[idx] == component_keys
+    return np.where(hit, sample_counts[idx], 0).astype(np.int64)

@@ -1,0 +1,146 @@
+"""Connected components with size-window splitting — label propagation.
+
+Reference semantics (src/algo/ComponentsBuilder.java): at threshold t the
+graph over surviving k-mers is BFS-partitioned; components smaller than b1
+are dropped, those within [b1, b2] are emitted with weight = sum of counts
+and usedFreqThreshold = t, and oversized ones are re-processed at t+1
+restricted to k-mers with count >= t+1.
+
+TPU-native reformulation: sequential BFS becomes min-label propagation with
+pointer shortcutting (FastSV-style), converging in O(log n) gather rounds;
+all components of one threshold level are found in a single pass, and all
+oversized components advance to the next level together (they stay disjoint
+automatically).  The final component multiset is identical — BFS order
+never affects membership.
+
+Emitted components are sorted by (usedFreqThreshold asc, weight desc,
+size desc), matching ConnectedComponent.compareTo (ties broken
+deterministically by smallest member key — the reference's tie order is
+thread-scheduling-dependent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import bitpack as bp
+from . import dbg
+
+I32 = jnp.int32
+
+
+@dataclass
+class Component:
+    kmers: np.ndarray          # sorted int64 canonical keys
+    weight: int
+    used_freq_threshold: int
+
+    @property
+    def size(self) -> int:
+        return len(self.kmers)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def adjacency(khi, klo, k: int):
+    """[M, 8] neighbor table indices (-1 = absent), canonical 8-neighborhood.
+
+    Parity: KmerOperations.possibleNeighbours (src/algo/KmerOperations.java:9-27).
+    """
+    t = dbg.neighbor_tables(khi, klo, k)
+    idx = jnp.concatenate([t["left"]["idx"], t["right"]["idx"]], axis=-1)
+    present = jnp.concatenate([t["left"]["present"], t["right"]["present"]], axis=-1)
+    return jnp.where(present, idx, -1)
+
+
+@jax.jit
+def _label_round(labels, nbr, active):
+    """One hash-min round + full pointer shortcutting."""
+    M = labels.shape[0]
+    # min over present, active neighbors
+    safe = jnp.clip(nbr, 0, M - 1)
+    nl = labels[safe]
+    nl = jnp.where((nbr >= 0) & active[safe], nl, M)
+    best = jnp.min(nl, axis=-1)
+    labels = jnp.where(active, jnp.minimum(labels, best), labels)
+
+    # shortcut: labels point to lower-numbered rows; compress a few hops
+    def short(_, l):
+        return jnp.minimum(l, l[jnp.clip(l, 0, M - 1)])
+
+    labels = jax.lax.fori_loop(0, 4, short, labels)
+    return labels
+
+
+def connected_labels(nbr: jnp.ndarray, active: jnp.ndarray) -> np.ndarray:
+    """Min-label per vertex over the active subgraph; inactive rows get M."""
+    M = nbr.shape[0]
+    labels = jnp.where(active, jnp.arange(M, dtype=I32), M)
+    prev = None
+    while True:
+        labels = _label_round(labels, nbr, active)
+        cur = np.asarray(labels)
+        if prev is not None and np.array_equal(cur, prev):
+            return cur
+        prev = cur
+
+
+def split_components(keys64: np.ndarray, counts: np.ndarray, k: int,
+                     b1: int, b2: int) -> list[Component]:
+    """Full size-window component splitting over a counted k-mer table."""
+    M0 = len(keys64)
+    if M0 == 0:
+        return []
+    M = 1 << max(4, int(np.ceil(np.log2(M0))))
+    khi = np.full(M, bp.SENTINEL, dtype=np.uint32)
+    klo = np.full(M, bp.SENTINEL, dtype=np.uint32)
+    u = keys64.astype(np.uint64)
+    khi[:M0] = (u >> np.uint64(32)).astype(np.uint32)
+    klo[:M0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    nbr = adjacency(jnp.asarray(khi), jnp.asarray(klo), k)
+    counts_full = np.zeros(M, dtype=np.int64)
+    counts_full[:M0] = counts
+
+    active = np.zeros(M, dtype=bool)
+    active[:M0] = True
+    thr = 1
+    out: list[Component] = []
+
+    while active.any():
+        labels = connected_labels(nbr, jnp.asarray(active))
+        act_idx = np.nonzero(active)[0]
+        roots = labels[act_idx]
+        order = np.argsort(roots, kind="stable")
+        act_sorted = act_idx[order]
+        roots_sorted = roots[order]
+        # component boundaries
+        starts = np.nonzero(np.r_[True, roots_sorted[1:] != roots_sorted[:-1]])[0]
+        ends = np.r_[starts[1:], len(roots_sorted)]
+
+        next_active = np.zeros(M, dtype=bool)
+        for s, e in zip(starts, ends):
+            members = act_sorted[s:e]
+            size = e - s
+            if size < b1:
+                continue
+            if size <= b2:
+                w = int(counts_full[members].sum())
+                out.append(Component(
+                    kmers=np.sort(keys64[members]), weight=w,
+                    used_freq_threshold=thr))
+            else:
+                survive = members[counts_full[members] >= thr + 1]
+                next_active[survive] = True
+        active = next_active
+        thr += 1
+        if thr > 32768:
+            break
+
+    out.sort(key=lambda c: (c.used_freq_threshold, -c.weight, -c.size,
+                            int(c.kmers[0]) if c.size else 0))
+    return out

@@ -1,0 +1,232 @@
+"""Simple-path contig extraction — pointer-doubling list ranking on TPU.
+
+Reference semantics (src/algo/AddSequencesShiftingRightTask.java): walk right
+from every "left end" oriented k-mer while the right extension is unique and
+the next k-mer's left extension is unique; emit sequences >= l, deduplicated
+by the canonical-key rule startKey < endKey (== handled once).
+
+TPU-native reformulation: the walk rules define a *successor function* on
+oriented k-mers (2 orientations per canonical key).  Successors restricted
+to non-null are injective, so chains are disjoint; heads of chains coincide
+exactly with the reference's "left end" test.  We therefore compute
+
+  succ[o]      via vectorized extension tables  (graph/dbg.py)
+  dist/term    via pointer doubling (log2 rounds of gathers)
+  sequences    via one scatter of per-node final nucleotides into a flat
+               char buffer (host-side numpy)
+
+instead of sequential pointer chasing per contig.
+
+Spec notes (conscious, parity-safe):
+  - a self-successor (u -> u, e.g. poly-A) is treated as null; the
+    reference would not terminate on this input.
+  - output order is deterministic (sorted by start key) — the reference's
+    deque order is thread-scheduling-dependent; downstream recounts k-mers
+    so order is irrelevant.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import bitpack as bp
+from . import dbg
+
+I32 = jnp.int32
+U32 = jnp.uint32
+CHARS = np.frombuffer(b"AGCT", dtype=np.uint8)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def chain_structure(khi, klo, k: int):
+    """Successor function + list ranking over oriented k-mer nodes.
+
+    Args:
+      khi, klo: [M] sorted canonical keys, SENTINEL padded.
+    Returns (all [2M] unless noted):
+      term:     terminal node index of each node's chain (valid where reached)
+      dist:     steps to terminal
+      reached:  bool, node lies on a terminated chain (not in a cycle)
+      is_start: bool, node is a chain head ("left end")
+      last_nuc: [2M] final nucleotide of the oriented k-mer value
+    """
+    M = khi.shape[0]
+    t = dbg.neighbor_tables(khi, klo, k)
+    L, R = t["left"], t["right"]
+    extL_fw, extR_fw = L["ext"], R["ext"]
+
+    rc_hi, rc_lo = bp.rc(khi, klo, k)
+    pal = (rc_hi == khi) & (rc_lo == klo)
+    valid = ~bp.is_sentinel(khi, klo)
+
+    idx = jnp.arange(M, dtype=I32)
+
+    def pick(tab, nuc):
+        """Gather tab[side][...] at per-row nucleotide (clipped for nuc<0)."""
+        safe = jnp.clip(nuc, 0, 3)
+        return tab[idx, safe]
+
+    # --- successor of fw orientation -----------------------------------
+    rn = extR_fw
+    j_fw = pick(R["idx"], rn)
+    arr_is_fw = pick(R["is_fw"], rn) | pal[jnp.clip(j_fw, 0, M - 1)]
+    extL_arr = jnp.where(arr_is_fw, extL_fw[j_fw], dbg.ext_map_rc(extR_fw[j_fw]))
+    succ_fw_node = 2 * j_fw + jnp.where(arr_is_fw, 0, 1)
+    ok_fw = (rn >= 0) & (extL_arr != dbg.FORK) & (succ_fw_node != 2 * idx) & valid
+    succ_fw = jnp.where(ok_fw, succ_fw_node, -1)
+
+    # --- successor of rc orientation -----------------------------------
+    # extR(rc_i) maps from extL(fw_i); the successor is rc(left candidate m)
+    m = extL_fw
+    j_rc = pick(L["idx"], m)
+    arr_is_fw_rc = (~pick(L["is_fw"], m)) | pal[jnp.clip(j_rc, 0, M - 1)]
+    extL_arr_rc = jnp.where(arr_is_fw_rc, extL_fw[j_rc], dbg.ext_map_rc(extR_fw[j_rc]))
+    succ_rc_node = 2 * j_rc + jnp.where(arr_is_fw_rc, 0, 1)
+    ok_rc = (m >= 0) & (extL_arr_rc != dbg.FORK) & (succ_rc_node != 2 * idx + 1) & valid
+    succ_rc = jnp.where(ok_rc, succ_rc_node, -1)
+
+    # --- start ("left end") detection ----------------------------------
+    # fw: extL < 0, or predecessor (left step) has a right fork
+    pj = pick(L["idx"], extL_fw)
+    pred_is_fw = pick(L["is_fw"], extL_fw)
+    extR_pred = jnp.where(pred_is_fw, extR_fw[pj], dbg.ext_map_rc(extL_fw[pj]))
+    start_fw = ((extL_fw < 0) | (extR_pred == dbg.FORK)) & valid
+
+    # rc: extL(rc) maps from extR(fw); predecessor is rc(right candidate rn)
+    qj = pick(R["idx"], extR_fw)
+    predrc_is_fw = (~pick(R["is_fw"], extR_fw)) | pal[jnp.clip(qj, 0, M - 1)]
+    extR_predrc = jnp.where(predrc_is_fw, extR_fw[qj], dbg.ext_map_rc(extL_fw[qj]))
+    start_rc = ((extR_fw < 0) | (extR_predrc == dbg.FORK)) & valid
+
+    # --- interleave to oriented nodes -----------------------------------
+    succ = jnp.stack([succ_fw, succ_rc], axis=-1).reshape(-1)
+    is_start = jnp.stack([start_fw, start_rc], axis=-1).reshape(-1)
+
+    last_fw = bp.last_nuc(klo)
+    last_rc = 3 - bp.first_nuc(khi, klo, k).astype(I32)
+    last_nuc = jnp.stack([last_fw.astype(I32), last_rc], axis=-1).reshape(-1)
+
+    # --- pointer doubling ------------------------------------------------
+    n = 2 * M
+    nodes = jnp.arange(n, dtype=I32)
+    terminal = succ < 0
+    ptr = jnp.where(terminal, nodes, succ)
+    dist = jnp.where(terminal, 0, 1).astype(I32)
+
+    rounds = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+
+    def body(_, carry):
+        ptr, dist = carry
+        dist = dist + dist[ptr]
+        ptr = ptr[ptr]
+        return ptr, dist
+
+    ptr, dist = jax.lax.fori_loop(0, rounds, body, (ptr, dist))
+    reached = terminal[ptr]
+    return dict(term=ptr, dist=dist, reached=reached, is_start=is_start,
+                last_nuc=last_nuc, succ=succ)
+
+
+def build_contigs(keys64: np.ndarray, counts: np.ndarray, k: int,
+                  len_threshold: int):
+    """Extract contigs from a counted table (already filtered to count > b).
+
+    Args:
+      keys64: [M0] sorted canonical keys as int64 (host).
+      counts: [M0] int32.
+    Returns list of (seq_str, avg_weight, min_weight, max_weight), ordered
+    deterministically by start key.
+    """
+    M0 = len(keys64)
+    if M0 == 0:
+        return []
+    # pad to power of two for stable jit shapes
+    M = 1 << max(4, int(np.ceil(np.log2(M0))))
+    khi = np.full(M, bp.SENTINEL, dtype=np.uint32)
+    klo = np.full(M, bp.SENTINEL, dtype=np.uint32)
+    u = keys64.astype(np.uint64)
+    khi[:M0] = (u >> np.uint64(32)).astype(np.uint32)
+    klo[:M0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    st = jax.device_get(chain_structure(jnp.asarray(khi), jnp.asarray(klo), k))
+    term = np.asarray(st["term"])
+    dist = np.asarray(st["dist"])
+    reached = np.asarray(st["reached"])
+    is_start = np.asarray(st["is_start"])
+    last_nuc = np.asarray(st["last_nuc"])
+
+    starts = np.nonzero(is_start & reached)[0]
+    if len(starts) == 0:
+        return []
+
+    # Palindromic canonical keys (even k only) make the fw and rc oriented
+    # nodes identical, yielding two copies of the same chain; keep one.
+    # (The reference emits such duplicates twice — a latent quirk never hit
+    # with odd k; we deduplicate instead.)
+    _, first = np.unique(term[starts], return_index=True)
+    starts = starts[np.sort(first)]
+
+    seq_len = k + dist[starts]
+    st_key = keys64[starts >> 1]
+    end_key = keys64[term[starts] >> 1]
+
+    emit = seq_len >= len_threshold
+    emit &= (st_key < end_key) | (
+        (st_key == end_key) & ((dist[starts] > 0) | (starts % 2 == 0)))
+    starts = starts[emit]
+    if len(starts) == 0:
+        return []
+    seq_len = seq_len[emit]
+
+    # deterministic output order
+    order = np.argsort(keys64[starts >> 1], kind="stable")
+    starts = starts[order]
+    seq_len = seq_len[order]
+
+    n_chain = len(starts)
+    terminals = term[starts]
+    row_of = np.full(2 * M, -1, dtype=np.int64)
+    row_of[terminals] = np.arange(n_chain)
+
+    # per-chain stats over member nodes
+    member = reached & (row_of[term] >= 0)
+    nodes = np.nonzero(member)[0]
+    rows = row_of[term[nodes]]
+    ncounts = counts[(nodes >> 1)].astype(np.int64)
+    wsum = np.zeros(n_chain, dtype=np.int64)
+    wmin = np.full(n_chain, np.iinfo(np.int64).max, dtype=np.int64)
+    wmax = np.zeros(n_chain, dtype=np.int64)
+    np.add.at(wsum, rows, ncounts)
+    np.minimum.at(wmin, rows, ncounts)
+    np.maximum.at(wmax, rows, ncounts)
+
+    # char buffer assembly
+    offsets = np.zeros(n_chain + 1, dtype=np.int64)
+    np.cumsum(seq_len, out=offsets[1:])
+    buf = np.zeros(offsets[-1], dtype=np.uint8)
+
+    cols = dist[starts][rows] - dist[nodes]          # 0 at start .. dist at end
+    buf[offsets[rows] + (k - 1) + cols] = CHARS[last_nuc[nodes]]
+
+    # start prefixes: first k-1 chars of the oriented start k-mer value
+    from ..oracle.reference import kmer_string, rc64
+    out = []
+    for r in range(n_chain):
+        o = starts[r]
+        key = int(keys64[o >> 1])
+        val = key if o % 2 == 0 else rc64(key, k)
+        prefix = kmer_string(val, k)[: k - 1]
+        s = buf[offsets[r]: offsets[r + 1]]
+        s[: k - 1] = np.frombuffer(prefix.encode(), dtype=np.uint8)
+        n_kmers = int(seq_len[r]) - k + 1
+        out.append((
+            s.tobytes().decode("ascii"),
+            int(wsum[r] // n_kmers),
+            int(wmin[r]),
+            int(wmax[r]),
+        ))
+    return out

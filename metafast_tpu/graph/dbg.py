@@ -1,0 +1,77 @@
+"""De Bruijn graph neighbor/extension tables over a sorted k-mer table.
+
+For every canonical key (interpreted in its forward orientation, i.e. the
+canonical value itself — parity with `new ShortKmer(key, k)`), computes the
+4 left and 4 right neighbor candidates, their canonical keys, table indices,
+presence, and orientation bits.  From these, the unique-extension codes
+
+    ext = -1 (no present neighbor) / -2 (fork) / 0..3 (the unique nucleotide)
+
+exactly as HashMapOperations.getLeft/RightNucleotide
+(src/algo/HashMapOperations.java:13-47), but evaluated for *all* k-mers at
+once instead of lazily per probe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import bitpack as bp
+from . import lookup
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+NONE = -1
+FORK = -2
+
+
+@partial(jax.jit, static_argnames=("k",))
+def neighbor_tables(khi, klo, k: int):
+    """All neighbor data for a sorted canonical key table.
+
+    Args:
+      khi, klo: [M] sorted canonical keys (SENTINEL-padded tail allowed).
+    Returns dict with, for side in {left, right} and nuc in 0..3:
+      val_hi/val_lo [M,4]  oriented neighbor value (fw frame)
+      idx [M,4] int32      table index of canonical neighbor (clipped)
+      present [M,4] bool
+      is_fw [M,4] bool     oriented value equals its canonical key
+      ext_left/ext_right [M] int32  unique-extension codes (-1/-2/0..3)
+    """
+    res = {}
+    for side in ("left", "right"):
+        vh, vl = [], []
+        for nuc in range(4):
+            if side == "right":
+                h, l = bp.shift_right(khi, klo, U32(nuc), k)
+            else:
+                h, l = bp.shift_left(khi, klo, U32(nuc), k)
+            vh.append(h)
+            vl.append(l)
+        val_hi = jnp.stack(vh, axis=-1)
+        val_lo = jnp.stack(vl, axis=-1)
+        can_hi, can_lo = bp.canonical(val_hi, val_lo, k)
+        idx, present = lookup.find(khi, klo, can_hi, can_lo)
+        # don't let sentinel rows report neighbors
+        sent = bp.is_sentinel(khi, klo)[:, None]
+        present = present & ~sent
+        is_fw = (val_hi == can_hi) & (val_lo == can_lo)
+        deg = jnp.sum(present.astype(I32), axis=-1)
+        uniq_nuc = jnp.argmax(present, axis=-1).astype(I32)
+        ext = jnp.where(deg == 0, NONE, jnp.where(deg >= 2, FORK, uniq_nuc))
+        res[side] = dict(val_hi=val_hi, val_lo=val_lo, idx=idx,
+                         present=present, is_fw=is_fw, ext=ext)
+    return res
+
+
+def ext_map_rc(ext):
+    """Extension code seen from the reverse-complement orientation.
+
+    extR(rc(c)) is derived from extL(fw(c)): -1/-2 unchanged, a unique
+    nucleotide m becomes its complement 3-m.
+    """
+    return jnp.where(ext >= 0, 3 - ext, ext)

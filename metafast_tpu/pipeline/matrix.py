@@ -1,0 +1,163 @@
+"""The default distance-matrix pipeline, end to end.
+
+Parity: DistanceMatrixBuilderMain (src/tools/DistanceMatrixBuilderMain.java:152-176)
+chains kmer-counter-many -> seq-builder-many -> component-cutter ->
+features-calculator -> dist-matrix-calculator.  This module is the library
+form of that chain; the CLI tools wrap these functions with per-step
+workdirs and checkpoint manifests.
+
+Semantics locked by the golden fixture (test_data/meta_test_matrix.txt):
+
+  1. per sample: count canonical k-mers of all its read files
+     (IOUtils.loadReads, src/io/IOUtils.java:742-803)
+  2. write/keep only k-mers with count > b  (printKmers threshold,
+     src/tools/KmersCounterMain.java:99) — downstream steps see ONLY these
+  3. per sample: contigs = simple paths over the filtered table, emitted
+     at length >= l  (SequencesFinders.thresholdStrategy)
+  4. all samples' contigs >= l are recounted into ONE graph
+     (ComponentCutterMain.runImpl, src/tools/ComponentCutterMain.java:78-86)
+  5. split into components with size window [b1, b2]
+     (ComponentsBuilder.splitStrategy)
+  6. per sample: vector[i] = sum of the sample's *filtered* counts over
+     component i's k-mers where count > threshold(=0)
+     (FeaturesCalculatorMain.buildAndPrintVector:169-230 reading the
+     .kmers.bin files produced in step 2 — NOT the raw reads)
+  7. Bray-Curtis on raw vectors
+     (DistanceMatrixCalculatorMain.java:140-153)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import api
+from ..graph import contigs as contigs_mod
+from ..graph import components as comp_mod
+from ..ops.count import KmerCounter
+
+_LUT = np.full(256, 255, dtype=np.uint8)
+for _ch, _code in (("A", 0), ("G", 1), ("C", 2), ("T", 3)):
+    _LUT[ord(_ch)] = _code
+    _LUT[ord(_ch.lower())] = _code
+
+
+@dataclass
+class MatrixResult:
+    names: list[str]
+    matrix: np.ndarray                      # [S, S] float64 Bray-Curtis
+    vectors: np.ndarray                     # [S, C] int64 feature vectors
+    breadth: np.ndarray                     # [S, C] float64 fraction present
+    components: list                        # graph.components.Component list
+    contigs_per_sample: list[list[tuple]]   # (seq, av_w, min_w, max_w)
+    sample_tables: list[tuple[np.ndarray, np.ndarray]]  # filtered (keys, counts)
+
+
+def count_contig_kmers(contig_seqs: list[str], k: int, min_len: int = 0,
+                       batch: int = 4096):
+    """Canonical k-mer counts of a list of sequence strings (one graph).
+
+    Parity: IOUtils.loadReads over contig FASTA with minLen filter
+    (src/tools/ComponentCutterMain.java:84).
+    """
+    counter = KmerCounter(k, capacity=1 << 16)
+    kept = [s for s in contig_seqs if len(s) >= min_len]
+    for i in range(0, len(kept), batch):
+        chunk = kept[i:i + batch]
+        if not chunk:
+            continue
+        maxlen = max(len(s) for s in chunk)
+        arr = np.zeros((len(chunk), maxlen), dtype=np.uint8)
+        lens = np.empty(len(chunk), dtype=np.int32)
+        for j, s in enumerate(chunk):
+            codes = _LUT[np.frombuffer(s.encode(), dtype=np.uint8)]
+            arr[j, : len(codes)] = codes
+            lens[j] = len(codes)
+        counter.add_batch(arr, lens)
+    return counter.finish()
+
+
+def feature_vectors(components, keys: np.ndarray, counts: np.ndarray,
+                    threshold: int = 0):
+    """vector[i], breadth[i] over components for one sample table.
+
+    Parity: FeaturesCalculatorMain.buildAndPrintVector
+    (src/tools/FeaturesCalculatorMain.java:169-230): value > threshold.
+    """
+    vec = np.zeros(len(components), dtype=np.int64)
+    brd = np.zeros(len(components), dtype=np.float64)
+    for i, c in enumerate(components):
+        ck = np.asarray(c.kmers, dtype=np.int64)
+        pres = api.presence_counts(ck, keys, counts)
+        hit = pres > threshold
+        vec[i] = int(pres[hit].sum())
+        brd[i] = hit.sum() / len(ck)
+    return vec, brd
+
+
+def bray_curtis_matrix(vectors: np.ndarray) -> np.ndarray:
+    """Pairwise Bray-Curtis (DistanceMatrixCalculatorMain.java:140-153)."""
+    v = np.asarray(vectors, dtype=np.float64)
+    num = np.abs(v[:, None, :] - v[None, :, :]).sum(-1)
+    den = np.abs(v)[:, None, :].sum(-1) + np.abs(v)[None, :, :].sum(-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d = np.where(den > 0, num / den, 0.0)
+    np.fill_diagonal(d, 0.0)
+    return d
+
+
+def sample_name(files: list[str]) -> str:
+    """Library name for a sample's file group (KmersCounterMain.java:122-137)."""
+    from ..io.reads import sample_name as _sn
+    return _sn([str(f) for f in files])
+
+
+def matrix_pipeline(sample_files: list[list[str]] | list[str],
+                    k: int = 31, b: int = 1, l: int = 100,
+                    b1: int = 1000, b2: int = 10000,
+                    feature_threshold: int = 0,
+                    progress=None) -> MatrixResult:
+    """Run the full default pipeline on S samples.
+
+    sample_files: either a flat list of paths (one file per sample) or a
+    list of per-sample file groups (paired-end reads).
+    """
+    groups = [[f] if isinstance(f, (str, os.PathLike)) else list(f)
+              for f in sample_files]
+    names = [sample_name(g) for g in groups]
+
+    sample_tables = []
+    contigs_per_sample = []
+    all_seqs: list[str] = []
+    for gi, g in enumerate(groups):
+        keys, counts, stats = api.count_reads_files([str(p) for p in g], k)
+        keep = counts > b
+        keys, counts = keys[keep], counts[keep]
+        sample_tables.append((keys, counts))
+        if progress is not None:
+            progress("count", names[gi], stats)
+        seqs = contigs_mod.build_contigs(keys, counts, k, l)
+        contigs_per_sample.append(seqs)
+        all_seqs.extend(s[0] for s in seqs)
+        if progress is not None:
+            progress("contigs", names[gi], {"n": len(seqs)})
+
+    gkeys, gcounts = count_contig_kmers(all_seqs, k, min_len=l)
+    components = comp_mod.split_components(gkeys, gcounts, k, b1, b2)
+    if progress is not None:
+        progress("components", "", {"n": len(components)})
+
+    S, C = len(groups), len(components)
+    vectors = np.zeros((S, C), dtype=np.int64)
+    breadth = np.zeros((S, C), dtype=np.float64)
+    for si, (keys, counts) in enumerate(sample_tables):
+        vectors[si], breadth[si] = feature_vectors(
+            components, keys, counts, feature_threshold)
+
+    matrix = bray_curtis_matrix(vectors)
+    return MatrixResult(names=names, matrix=matrix, vectors=vectors,
+                        breadth=breadth, components=components,
+                        contigs_per_sample=contigs_per_sample,
+                        sample_tables=sample_tables)
