@@ -70,11 +70,11 @@ def write_components_bin(path: str, components) -> None:
     """components: iterable of (kmer_array int64, weight int)."""
     comps = list(components)
     with open(path, "wb") as fh:
-        fh.write(np.int32(len(comps)).astype(">i4").tobytes())
+        fh.write(np.array(len(comps), dtype=">i4").tobytes())
         for kmers, weight in comps:
             kmers = np.asarray(kmers, dtype=np.int64)
-            fh.write(np.int32(len(kmers)).astype(">i4").tobytes())
-            fh.write(np.int64(weight).astype(">i8").tobytes())
+            fh.write(np.array(len(kmers), dtype=">i4").tobytes())
+            fh.write(np.array(weight, dtype=">i8").tobytes())
             fh.write(kmers.astype(">i8").tobytes())
 
 

@@ -1,0 +1,78 @@
+"""CLI end-to-end: matrix-builder on the golden fixtures + resume."""
+
+import glob
+
+import pytest
+
+from metafast_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, ref_data):
+    wd = tmp_path_factory.mktemp("cli_wd")
+    args = ["-k", "31",
+            "-i", str(ref_data / "meta_test_1.fa"),
+                  str(ref_data / "meta_test_2.fa"),
+                  str(ref_data / "meta_test_3.fa"),
+            "-w", str(wd)]
+    assert main(args) == 0
+    return wd, args
+
+
+def test_matrix_golden(workdir):
+    wd, _ = workdir
+    (orig,) = glob.glob(str(wd / "matrices" / "*_original_order.txt"))
+    text = open(orig).read()
+    assert "0.5691" in text and "0.2981" in text and "0.8448" in text
+    assert text.startswith("#\tmeta_test_1\tmeta_test_2\tmeta_test_3")
+
+
+def test_heatmap_written(workdir):
+    wd, _ = workdir
+    assert glob.glob(str(wd / "matrices" / "*_heatmap.png"))
+    assert glob.glob(str(wd / "matrices" / "*_heatmap.svg"))
+
+
+def test_renumbered_matrix_matches_reference_order(workdir):
+    wd, _ = workdir
+    files = [f for f in glob.glob(str(wd / "matrices" / "*.txt"))
+             if "original_order" not in f]
+    assert files
+    head = open(files[0]).readline().strip()
+    # reference golden file (test_data/meta_test_matrix.txt) uses this order
+    assert head == "#\tmeta_test_1\tmeta_test_3\tmeta_test_2"
+
+
+def test_artifacts_layout(workdir):
+    wd, _ = workdir
+    assert (wd / "kmer-counter-many" / "kmers" / "meta_test_1.kmers.bin").exists()
+    assert (wd / "kmer-counter-many" / "stats" / "meta_test_1.stat.txt").exists()
+    assert (wd / "seq-builder-many" / "sequences" / "meta_test_1.seq.fasta").exists()
+    assert (wd / "component-cutter" / "components.bin").exists()
+    assert (wd / "features-calculator" / "vectors" / "meta_test_2.vec").exists()
+    assert (wd / "output_description.txt").exists()
+    assert (wd / "log").exists()
+
+
+def test_continue_skips_everything(workdir, capsys, caplog):
+    import logging
+    wd, args = workdir
+    with caplog.at_level(logging.INFO, logger="metafast"):
+        assert main(args + ["--continue"]) == 0
+    skipped = [r for r in caplog.records if "skipped" in r.getMessage()]
+    assert len(skipped) >= 6
+
+
+def test_tools_listing(capsys):
+    assert main(["--tools"]) == 0
+    out = capsys.readouterr().out
+    for t in ("matrix-builder", "kmer-counter", "seq-builder",
+              "component-cutter", "features-calculator",
+              "dist-matrix-calculator", "heatmap-maker"):
+        assert t in out
+
+
+def test_tool_help(capsys):
+    assert main(["-t", "kmer-counter", "-h"]) == 0
+    out = capsys.readouterr().out
+    assert "--maximal-bad-frequency" in out
