@@ -13,7 +13,7 @@ import numpy as np
 from ..io import textfmt
 from ..io import reads as readsio
 from ..viz.heatmap import render_heatmap
-from .framework import ExecutionFailed, Param, Tool, register
+from .framework import ExecutionFailed, Param, Tool, late_bind, register
 from .pipeline1 import (ComponentCutterTool, DistMatrixCalculatorTool,
                         FeaturesCalculatorTool, KmerCounterManyTool,
                         SeqBuilderManyTool)
@@ -133,7 +133,7 @@ class MatrixBuilderTool(Tool):
         builder.set("k", self.get("k"))
         builder.set("maximal-bad-frequency", self.get("maximal-bad-frequency"))
         builder.set("sequence-len", self.get("min-seq-len"))
-        self._late(builder, "k-mers",
+        late_bind(builder, "k-mers",
                    lambda: counter.outputs["resulting-kmers-files"])
         self.add_step(builder)
 
@@ -142,30 +142,30 @@ class MatrixBuilderTool(Tool):
         cutter.set("min-seq-len", self.get("min-seq-len"))
         cutter.set("min-component-size", self.get("min-component-size"))
         cutter.set("max-component-size", self.get("max-component-size"))
-        self._late(cutter, "sequences",
+        late_bind(cutter, "sequences",
                    lambda: builder.outputs["output-files"])
         self.add_step(cutter)
 
         features = FeaturesCalculatorTool()
         features.set("k", self.get("k"))
-        self._late(features, "components",
+        late_bind(features, "components",
                    lambda: cutter.outputs["components-file"])
         if self.get("use-reads-for-calculating-features"):
             features.set("reads", self.get("reads"))
         else:
-            self._late(features, "k-mers",
+            late_bind(features, "k-mers",
                        lambda: counter.outputs["resulting-kmers-files"])
         self.add_step(features)
 
         dist = DistMatrixCalculatorTool()
-        self._late(dist, "features",
+        late_bind(dist, "features",
                    lambda: features.outputs["features-files"])
         dist.set("matrix-file",
                  mat_dir / "dist_matrix_$DT_original_order.txt")
         self.add_step(dist)
 
         heat = HeatMapMakerTool()
-        self._late(heat, "matrix-file",
+        late_bind(heat, "matrix-file",
                    lambda: dist.outputs["matrix-file"])
         mf = self.get("matrix-file")
         heat.set("newMatrix-file",
@@ -174,19 +174,3 @@ class MatrixBuilderTool(Tool):
         heat.set("heatmap-file",
                  str(hf) if hf else str(mat_dir / "dist_matrix_$DT_heatmap.png"))
         self.add_step(heat)
-
-    @staticmethod
-    def _late(tool: Tool, param: str, thunk):
-        """Bind a parameter to a value produced by an earlier step.
-
-        The reference wires InValue suppliers between sub-tools
-        (DistanceMatrixBuilderMain.java:88-146); here a late-bound default
-        reads the predecessor's recorded outputs at execution time, which
-        also works when the predecessor was skipped via --continue."""
-        p = tool.param(param)
-        idx = tool.PARAMS.index(p)
-        tool.PARAMS = list(tool.PARAMS)
-        tool.PARAMS[idx] = Param(p.name, p.type, p.short,
-                                 default=lambda t: thunk(),
-                                 mandatory=False, multiple=p.multiple,
-                                 description=p.description)

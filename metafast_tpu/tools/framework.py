@@ -283,6 +283,23 @@ class Tool:
         step.workdir = sd
 
 
+def late_bind(tool: Tool, param: str, thunk: Callable[[], Any]) -> None:
+    """Bind a tool parameter to a value produced by an earlier step.
+
+    The reference wires InValue suppliers between sub-tools
+    (DistanceMatrixBuilderMain.java:88-146); here a late-bound default
+    reads the predecessor's recorded outputs at execution time, which
+    also works when the predecessor was skipped via --continue.
+    """
+    p = tool.param(param)
+    idx = tool.PARAMS.index(p)
+    tool.PARAMS = list(tool.PARAMS)
+    tool.PARAMS[idx] = Param(p.name, p.type, p.short,
+                             default=lambda t: thunk(),
+                             mandatory=False, multiple=p.multiple,
+                             description=p.description)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
