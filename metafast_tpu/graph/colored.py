@@ -1,0 +1,205 @@
+"""Colored k-mers: 3x20-bit packed per-class counts + colored components.
+
+Parity: src/algo/ColoredKmerOperations.java (packing, saturation at
+2^20-1, color call at relative abundance >= perc) and
+src/algo/ColoredComponentsBuilder.java (per-color BFS; gray (-1 color)
+k-mers are absorbed into components without being consumed, so they may
+appear in several components; --linear walks the best same-color path at
+forks; --separate restricts components to color-specific k-mers).
+
+Determinism spec: start k-mers are scanned in ascending canonical-key
+order (the reference iterates hash order).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .pivot import left_neighbors_np, right_neighbors_np
+
+POWER = 20
+COLOR_MAX = (1 << POWER) - 1
+
+
+def get_value(values: np.ndarray, color: int) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64)
+    return ((v >> np.uint64(color * POWER)) & np.uint64(COLOR_MAX)).astype(np.int64)
+
+
+def add_value(values: np.ndarray, color: int, add) -> np.ndarray:
+    """Saturating add into one color lane (ColoredKmerOperations.addValue)."""
+    v = np.asarray(values, dtype=np.uint64)
+    cur = get_value(v, color)
+    new = np.minimum(cur + np.asarray(add, dtype=np.int64), COLOR_MAX)
+    cleared = v & ~(np.uint64(COLOR_MAX) << np.uint64(color * POWER))
+    return (cleared | (new.astype(np.uint64) << np.uint64(color * POWER))).astype(np.int64)
+
+
+def get_color(values: np.ndarray, perc: float) -> np.ndarray:
+    """Color call: class with share >= perc, else -1
+    (ColoredKmerOperations.getColor)."""
+    v = np.asarray(values, dtype=np.uint64)
+    c0 = get_value(v, 0).astype(np.float64)
+    c1 = get_value(v, 1).astype(np.float64)
+    c2 = get_value(v, 2).astype(np.float64)
+    s = c0 + c1 + c2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        color = np.where(c0 / s >= perc, 0,
+                         np.where(c1 / s >= perc, 1,
+                                  np.where(c2 / s >= perc, 2, -1)))
+    return color.astype(np.int32)
+
+
+@dataclass
+class ColoredComponent:
+    kmers: np.ndarray
+    weight: int
+    color: int
+
+    @property
+    def size(self) -> int:
+        return len(self.kmers)
+
+
+def split_colored(keys: np.ndarray, values: np.ndarray, k: int,
+                  n_groups: int = 3, separate: bool = False,
+                  linear: bool = False, n_comps: int = -1,
+                  perc: float = 0.9) -> dict[int, list[ColoredComponent]]:
+    """All colored components, keyed by color (splitStrategy)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    order = np.argsort(keys)
+    keys, values = keys[order], np.asarray(values, dtype=np.int64)[order]
+    N = len(keys)
+    color = get_color(values, perc)
+
+    rn = right_neighbors_np(keys, k)
+    ln = left_neighbors_np(keys, k)
+    nbr_keys = np.concatenate([rn, ln], axis=1)       # [N, 8]
+    idx = np.searchsorted(keys, nbr_keys)
+    idx = np.clip(idx, 0, max(N - 1, 0))
+    found = (keys[idx] == nbr_keys) if N else np.zeros_like(idx, dtype=bool)
+    nbrs = np.where(found, idx, -1).astype(np.int64)
+
+    visited = np.zeros(N, dtype=bool)
+    ans: dict[int, list[ColoredComponent]] = {g: [] for g in range(n_groups)}
+    per_group = [0] * n_groups
+
+    for start in range(N):
+        if n_comps != -1 and sum(per_group) >= n_groups * n_comps:
+            break
+        if visited[start]:
+            continue
+        c = int(color[start])
+        if c == -1 or c >= n_groups:
+            continue
+        if n_comps != -1 and per_group[c] >= n_comps:
+            continue
+        comp = (_bfs_linear if linear else _bfs)(
+            nbrs, color, visited, start, c, separate)
+        if comp:
+            per_group[c] += 1
+            members = np.array(sorted(comp), dtype=np.int64)
+            ans[c].append(ColoredComponent(
+                kmers=keys[members], weight=len(comp), color=c))
+    return ans
+
+
+def _bfs(nbrs, color, visited, start, start_color, separate):
+    comp: set[int] = set()
+    queue = [start]
+    visited[start] = True
+    comp.add(start)
+    while queue:
+        i = queue.pop(0)
+        for j in nbrs[i]:
+            j = int(j)
+            if j < 0 or visited[j]:
+                continue
+            cj = int(color[j])
+            if cj == start_color:
+                visited[j] = True
+                comp.add(j)
+                queue.append(j)
+            elif not separate and cj == -1 and j not in comp:
+                # gray k-mers join without being consumed
+                comp.add(j)
+                queue.append(j)
+    return comp
+
+
+def _bfs_linear(nbrs, color, visited, start, start_color, separate):
+    comp: set[int] = set()
+    queue = [start]
+    visited[start] = True
+    comp.add(start)
+
+    def live(i, exclude=-1):
+        return [int(j) for j in nbrs[i]
+                if j >= 0 and not visited[j] and j != exclude]
+
+    def count_color_on_path(j, prev):
+        cnt = 0
+        cur, pv = j, prev
+        seen = set()
+        while True:
+            if visited[cur] or cur in seen:
+                return -1 if visited[cur] else cnt
+            seen.add(cur)
+            if int(color[cur]) == start_color:
+                cnt += 1
+            nxt = live(cur, exclude=pv)
+            if len(nxt) == 1:
+                pv, cur = cur, nxt[0]
+            else:
+                break
+        return cnt
+
+    def kmers_on_path(j, prev):
+        path = []
+        cur, pv = j, prev
+        seen = set()
+        while True:
+            if visited[cur] or cur in seen:
+                break
+            seen.add(cur)
+            path.append(cur)
+            nxt = live(cur, exclude=pv)
+            if len(nxt) == 1:
+                pv, cur = cur, nxt[0]
+            else:
+                break
+        return path
+
+    while queue:
+        i = queue.pop(0)
+        nl = live(i)
+        if len(nl) > 1:
+            best, best_good = None, -1
+            for j in nl:
+                good = count_color_on_path(j, i)
+                if good > best_good:
+                    best_good, best = good, j
+            if best_good > 0:
+                path = kmers_on_path(best, i)
+                for v in path:
+                    cv = int(color[v])
+                    if cv == start_color:
+                        visited[v] = True
+                        comp.add(v)
+                    elif cv == -1 and v not in comp:
+                        comp.add(v)
+                if path:
+                    queue.append(path[-1])
+        elif len(nl) == 1:
+            j = nl[0]
+            cj = int(color[j])
+            if cj == start_color:
+                visited[j] = True
+                comp.add(j)
+                queue.append(j)
+            elif cj == -1 and j not in comp:
+                comp.add(j)
+                queue.append(j)
+    return comp
