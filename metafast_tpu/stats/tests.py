@@ -91,8 +91,13 @@ def chi2_invcdf_df2(p: float) -> float:
 
 def chisq3_reference(n0A, n1A, n0B, n1B, n0C, n1C,
                      critical: float) -> np.ndarray:
-    """Vectorized StatsKmers3GroupsFinder.chisq (float32, verbatim —
-    src/tools/StatsKmers3GroupsFinder.java:346-369)."""
+    """True where the 3-group statistic exceeds the critical value."""
+    return critical < chisq_statistic3(n0A, n1A, n0B, n1B, n0C, n1C)
+
+
+def chisq_statistic3(n0A, n1A, n0B, n1B, n0C, n1C) -> np.ndarray:
+    """Vectorized StatsKmers3GroupsFinder.chisq statistic (float32,
+    verbatim — src/tools/StatsKmers3GroupsFinder.java:346-369)."""
     c0 = np.asarray(n0A, dtype=np.float32)
     c1 = np.asarray(n1A, dtype=np.float32)
     p0 = np.asarray(n0B, dtype=np.float32)
@@ -121,15 +126,17 @@ def chisq3_reference(n0A, n1A, n0B, n1B, n0C, n1C,
                 + (np.abs(c0n - x4) - 0.5).astype(np.float64) ** 2 / x4
                 + (np.abs(q1n - x5) - 0.5).astype(np.float64) ** 2 / x5
                 + (np.abs(q0n - x6) - 0.5).astype(np.float64) ** 2 / x6)
-    return critical < stat
+    return stat
 
 
 def chisq_reference(n0A, n1A, n0B, n1B, critical: float) -> np.ndarray:
-    """Vectorized StatsKmersFinder.chisq: True where statistic > critical.
+    """Vectorized StatsKmersFinder.chisq: True where statistic > critical."""
+    return critical < chisq_statistic2(n0A, n1A, n0B, n1B)
 
-    Inputs are per-row 2x2 tables (absent/present counts in groups A/B);
-    arithmetic follows the Java float implementation.
-    """
+
+def chisq_statistic2(n0A, n1A, n0B, n1B) -> np.ndarray:
+    """The percent-normalized Yates 2x2 statistic itself (float32 like the
+    Java original; also TopStatsKmersFinder.chisq_2gr)."""
     c0 = np.asarray(n0A, dtype=np.float32)
     c1 = np.asarray(n1A, dtype=np.float32)
     p0 = np.asarray(n0B, dtype=np.float32)
@@ -153,7 +160,7 @@ def chisq_reference(n0A, n1A, n0B, n1B, critical: float) -> np.ndarray:
               + (np.abs(p0n - x2) - 0.5).astype(np.float64) ** 2 / x2
               + (np.abs(c1n - x3) - 0.5).astype(np.float64) ** 2 / x3
               + (np.abs(c0n - x4) - 0.5).astype(np.float64) ** 2 / x4)
-    return critical < kk
+    return kk
 
 
 def _rankdata_rows(x: np.ndarray) -> np.ndarray:

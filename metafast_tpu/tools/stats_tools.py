@@ -228,3 +228,232 @@ class BitSetStatsKmers3Tool(_StatsKmers3Base):
     NAME = "bitset-stats-kmers-3"
     DESCRIPTION = ("3-group stats k-mers (BitSet-backed variant in the "
                    "reference; identical semantics here)")
+
+
+class _SpecificKmersBase(Tool):
+    """Frequency-table chi² + MW specific k-mer extraction.
+
+    Parity: src/tools/SpecificKmersFinder.java (2 groups) and
+    SpecificKmers3GroupsFinder.java (3 groups).  Differences from
+    stats-kmers: raw (not depth-normalized) frequencies; the scarce test
+    compares the k-mer's count in the *first* sample containing it with
+    ceil(0.05 * n_samples) (SpecificKmersFinder.java:155-158); k-mers
+    present in all samples force-pass chi²; MW keeps p <= threshold.
+    """
+
+    N_GROUPS = 2
+
+    def _group_params(self):
+        return ["a-kmers", "b-kmers", "c-kmers"][: self.N_GROUPS]
+
+    def run_impl(self):
+        groups = [self.get(p) for p in self._group_params()]
+        sizes = [len(g) for g in groups]
+        total = sum(sizes)
+        files = [f for g in groups for f in g]
+
+        tabs = pres.load_sample_tables(files, 0)
+        keys = pres.union_keys(tabs)
+        C = pres.count_matrix(tabs, keys)          # [N, total]
+        o = np.cumsum([0] + sizes)
+        mats = [C[:, o[i]:o[i + 1]].astype(np.float64) for i in range(len(sizes))]
+        n1 = [(m > 0).sum(axis=1) for m in mats]
+
+        # scarce test value: count in the first sample containing the key
+        first_idx = np.argmax(C > 0, axis=1)
+        first_val = C[np.arange(len(keys)), first_idx]
+        scarce = first_val <= math.ceil(total * 0.05)
+
+        if self.N_GROUPS == 2:
+            crit = chi2_invcdf_df1(1.0 - self.get("p-value-chi2"))
+            passed = chisq_reference(sizes[0] - n1[0], n1[0],
+                                     sizes[1] - n1[1], n1[1], crit)
+        else:
+            crit = chi2_invcdf_df2(1.0 - self.get("p-value-chi2"))
+            passed = chisq3_reference(sizes[0] - n1[0], n1[0],
+                                      sizes[1] - n1[1], n1[1],
+                                      sizes[2] - n1[2], n1[2], crit)
+        in_all = sum(n1) == total
+        passed = passed | in_all
+        keep = ~scarce & passed
+
+        pmw = self.get("p-value-mw")
+        if pmw > 0 and keep.any():
+            sel = np.nonzero(keep)[0]
+            if self.N_GROUPS == 2:
+                p = mannwhitney_p_rows(mats[0][sel], mats[1][sel])
+                mw_pass = p <= pmw
+            else:
+                pab = mannwhitney_p_rows(mats[0][sel], mats[1][sel])
+                pbc = mannwhitney_p_rows(mats[1][sel], mats[2][sel])
+                pac = mannwhitney_p_rows(mats[0][sel], mats[2][sel])
+                mw_pass = (pab < pmw) | (pbc < pmw) | (pac < pmw)
+            keep2 = np.zeros(len(keys), dtype=bool)
+            keep2[sel[mw_pass]] = True
+            keep = keep2
+
+        means = [m.mean(axis=1) for m in mats]
+        out_dir = self.get("output-dir")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        outs = []
+        if self.N_GROUPS == 2:
+            to_a = keep & (means[0] > means[1])
+            masks = [to_a, keep & ~to_a]
+        else:
+            to_a = keep & (means[0] > means[1]) & (means[0] > means[2])
+            to_b = keep & ~to_a & (means[1] > means[0]) & (means[1] > means[2])
+            masks = [to_a, to_b, keep & ~to_a & ~to_b]
+        for gi, mask in enumerate(masks):
+            label = "ABC"[gi]
+            fp = out_dir / f"filtered_group{label}.kmers.bin"
+            _write_group_file(fp, keys[mask], means[gi][mask])
+            self.info(f"Total specific k-mers in Group {label} = "
+                      f"{int(mask.sum())}")
+            outs.append(str(fp))
+        self.set_output("resulting-kmers-files", outs)
+
+
+@register
+class SpecificKmersTool(_SpecificKmersBase):
+    NAME = "specific-kmers"
+    DESCRIPTION = ("Output k-mers specific to each of two groups of samples "
+                   "based on frequency chi-squared & Mann-Whitney tests")
+    N_GROUPS = 2
+    PARAMS = [
+        Param("a-kmers", Path, "A", mandatory=True, multiple=True,
+              description="k-mer files for group A"),
+        Param("b-kmers", Path, "B", mandatory=True, multiple=True,
+              description="k-mer files for group B"),
+        Param("p-value-chi2", float, "pchi2", default=0.05,
+              description="p-value for chi-squared test"),
+        Param("p-value-mw", float, "pmw", default=0.05,
+              description="p-value for Mann-Whitney test"),
+        Param("output-dir", Path, default=_workdir_sub("kmers")),
+    ]
+
+
+@register
+class SpecificKmers3Tool(_SpecificKmersBase):
+    NAME = "specific-kmers-3"
+    DESCRIPTION = ("Output k-mers specific to each of three groups of "
+                   "samples based on frequency chi-squared & Mann-Whitney")
+    N_GROUPS = 3
+    PARAMS = [
+        Param("a-kmers", Path, "A", mandatory=True, multiple=True,
+              description="k-mer files for group A"),
+        Param("b-kmers", Path, "B", mandatory=True, multiple=True,
+              description="k-mer files for group B"),
+        Param("c-kmers", Path, "C", mandatory=True, multiple=True,
+              description="k-mer files for group C"),
+        Param("p-value-chi2", float, "pchi2", default=0.05,
+              description="p-value for chi-squared test"),
+        Param("p-value-mw", float, "pmw", default=0.05,
+              description="p-value for Mann-Whitney test"),
+        Param("output-dir", Path, default=_workdir_sub("kmers")),
+    ]
+
+
+@register
+class TopStatsKmersTool(Tool):
+    NAME = "top-stats-kmers"
+    DESCRIPTION = ("Output top N k-mers ranked by the chi-squared statistic "
+                   "(2 or 3 groups)")
+    PARAMS = [
+        Param("a-kmers", Path, "A", mandatory=True, multiple=True,
+              description="k-mer files for group A"),
+        Param("b-kmers", Path, "B", mandatory=True, multiple=True,
+              description="k-mer files for group B"),
+        Param("c-kmers", Path, "C", multiple=True,
+              description="k-mer files for group C (optional)"),
+        Param("num-kmers", int, "n", mandatory=True,
+              description="number of most specific k-mers to extract"),
+        Param("maximal-bad-frequency", int, "b", default=0,
+              description="maximal frequency for an erroneous k-mer"),
+        Param("output-dir", Path, default=_workdir_sub("kmers")),
+    ]
+
+    def run_impl(self):
+        from ..stats.tests import chisq_statistic2, chisq_statistic3
+        b = self.get("maximal-bad-frequency")
+        groups = [self.get("a-kmers"), self.get("b-kmers")]
+        if self.get("c-kmers"):
+            groups.append(self.get("c-kmers"))
+        sizes = [len(g) for g in groups]
+        total = sum(sizes)
+        files = [f for g in groups for f in g]
+
+        tabs = pres.load_sample_tables(files, b)
+        keys = pres.union_keys(tabs)
+        P = pres.presence_matrix(tabs, keys)
+        o = np.cumsum([0] + sizes)
+        n1 = [P[:, o[i]:o[i + 1]].sum(axis=1) for i in range(len(sizes))]
+        present = sum(n1)
+        eligible = (present > math.ceil(total * 0.05)) & (present != total)
+
+        if len(groups) == 2:
+            stat = chisq_statistic2(sizes[0] - n1[0], n1[0],
+                                    sizes[1] - n1[1], n1[1])
+        else:
+            stat = chisq_statistic3(sizes[0] - n1[0], n1[0],
+                                    sizes[1] - n1[1], n1[1],
+                                    sizes[2] - n1[2], n1[2])
+        sel = np.nonzero(eligible)[0]
+        stats_sel = stat[sel]
+        # rank 0 = largest statistic (TopStatsKmersFinder.java:166-173)
+        order = np.argsort(-stats_sel, kind="stable")
+        ranks = np.empty(len(sel), dtype=np.int32)
+        ranks[order] = np.arange(len(sel), dtype=np.int32)
+
+        out_dir = self.get("output-dir")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        n_best = self.get("num-kmers")
+        all_file = out_dir / "all.kmers.bin"
+        ranks_file = out_dir / "all_chi_squared_ranks.bin"
+        top_file = out_dir / f"top_{n_best}_chi_squared_specific.kmers.bin"
+
+        binfmt.write_kmers_bin(str(all_file), keys[sel],
+                               np.ones(len(sel), dtype=np.int16))
+        ranks_file.write_bytes(ranks.astype(">i4").tobytes())
+        top = ranks < n_best
+        binfmt.write_kmers_bin(str(top_file), keys[sel][top],
+                               np.ones(int(top.sum()), dtype=np.int16))
+        self.info(f"Filtered k-mers printed to {top_file}")
+        self.set_output("resulting-kmers-file", str(top_file))
+        self.set_output("all-kmers-file", str(all_file))
+        self.set_output("ranks-file", str(ranks_file))
+
+
+@register
+class SubsetSpecificTool(Tool):
+    NAME = "subset-specific"
+    DESCRIPTION = ("Output subset of top most specific k-mers based on "
+                   "given statistical ranking")
+    PARAMS = [
+        Param("input-kmers", Path, "i", mandatory=True,
+              description="file with filtered k-mers in binary format"),
+        Param("ranks-kmers", Path, "rk", mandatory=True,
+              description="file with k-mer ranks in binary format"),
+        Param("num-kmers", int, "n", mandatory=True,
+              description="number of most specific k-mers to extract"),
+        Param("output-dir", Path, default=_workdir_sub("kmers")),
+    ]
+
+    def run_impl(self):
+        keys, counts = binfmt.read_kmers_bin(str(self.get("input-kmers")))
+        ranks = np.frombuffer(
+            Path(self.get("ranks-kmers")).read_bytes(), dtype=">i4"
+        ).astype(np.int32)
+        n_best = self.get("num-kmers")
+        if len(keys) < n_best:
+            raise ExecutionFailed(
+                "Trying to extract more k-mers then present in input file!")
+        if len(ranks) < len(keys):
+            raise ExecutionFailed("ranks file shorter than k-mers file")
+        keep = ranks[: len(keys)] < n_best
+        out_dir = self.get("output-dir")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        stem = Path(self.get("ranks-kmers")).name.split(".")[0].split("_ranks")[0]
+        out_file = out_dir / f"{stem}_top_{n_best}.kmers.bin"
+        binfmt.write_kmers_bin(str(out_file), keys[keep], counts[keep])
+        self.info(f"Top k-mers printed to {out_file}")
+        self.set_output("resulting-kmers-file", str(out_file))
