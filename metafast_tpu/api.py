@@ -37,6 +37,29 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
     n_reads = 0
     n_skipped = 0
     for path in files:
+        parsed = None
+        try:
+            from .io import native_reads
+            parsed = native_reads.parse_file(path)
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            # native C++ parse -> padded batches
+            codes, lengths, skipped = parsed
+            total = len(lengths) + skipped
+            if min_len > 0 and len(lengths):
+                keep = lengths >= min_len
+                skipped += int((~keep).sum())
+                sel = np.repeat(keep, lengths)
+                codes, lengths = codes[sel], lengths[keep]
+            n_reads += total
+            n_skipped += skipped
+            from .io.native_reads import to_batches
+            for bcodes, blens in to_batches(codes, lengths, batch_reads):
+                counter.add_batch(bcodes, blens)
+                if progress is not None:
+                    progress(path, None)
+            continue
         last = None
         for batch in readsio.read_batches(path, batch_reads=batch_reads,
                                           min_len=min_len):

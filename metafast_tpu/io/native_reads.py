@@ -1,0 +1,73 @@
+"""Native-backed read parsing: whole-file parse -> padded device batches.
+
+Uses the C++ parser (metafast_tpu/native/fastparse.cpp) when available;
+callers fall back to the pure-Python reader otherwise.  Decompression
+(.gz/.bz2) goes through Python's C-backed zlib/bz2 modules.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..native import load_library
+from . import reads as pyreads
+
+
+def parse_file(path: str) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """(codes_concat uint8, lengths int32, n_skipped), or None if the
+    native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    import bz2 as _bz2
+    import gzip as _gzip
+    fmt, comp = pyreads.detect_format(path)
+    if comp == "gz":
+        raw = _gzip.open(path, "rb").read()
+    elif comp == "bz2":
+        raw = _bz2.open(path, "rb").read()
+    else:
+        raw = open(path, "rb").read()
+    text = np.frombuffer(raw, dtype=np.uint8)
+    n = len(text)
+    codes = np.empty(n, dtype=np.uint8)
+    max_reads = n // 2 + 16
+    lengths = np.empty(max_reads, dtype=np.int32)
+    skipped = ctypes.c_int64(0)
+    consumed = ctypes.c_int64(0)
+
+    tp = text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    cp = codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lp = lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    if fmt == "fasta":
+        n_reads = lib.parse_fasta(tp, n, cp, n, lp, max_reads,
+                                  ctypes.byref(skipped),
+                                  ctypes.byref(consumed))
+    else:
+        offset = pyreads._detect_quality_format(path)
+        n_reads = lib.parse_fastq(tp, n, offset, cp, n, lp, max_reads,
+                                  ctypes.byref(skipped),
+                                  ctypes.byref(consumed))
+    lengths = lengths[:n_reads].copy()
+    codes = codes[: int(lengths.sum())].copy()
+    return codes, lengths, int(skipped.value)
+
+
+def to_batches(codes: np.ndarray, lengths: np.ndarray, batch_reads: int,
+               pad_to: int = 128):
+    """Yield (padded [B, L] uint8, lengths int32) batches from a
+    concatenated code stream."""
+    offsets = np.r_[0, np.cumsum(lengths.astype(np.int64))]
+    n = len(lengths)
+    for s in range(0, n, batch_reads):
+        e = min(s + batch_reads, n)
+        ls = lengths[s:e]
+        maxlen = int(ls.max()) if len(ls) else 0
+        L = max(pad_to, -(-maxlen // pad_to) * pad_to)
+        out = np.zeros((e - s, L), dtype=np.uint8)
+        mask = np.arange(L)[None, :] < ls[:, None]
+        out[mask] = codes[offsets[s]:offsets[e]]
+        yield out, ls.astype(np.int32)

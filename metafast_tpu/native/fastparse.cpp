@@ -1,0 +1,202 @@
+// Native FASTA/FASTQ parser: text buffer -> 2-bit packed codes + lengths.
+//
+// TPU-native replacement for the reference's dispatcher/worker read pool
+// (src/io/ReadsDispatcher.java, itmo io/readers/*): one linear scan over
+// the (already decompressed) text produces the concatenated 2-bit code
+// stream and per-read lengths that feed the device k-mer kernels.
+//
+// Semantics mirrored from the reference readers:
+//   - FASTA: lines between '>' headers concatenate into one read; any
+//     invalid character (N, IUPAC, other) drops the whole read
+//     (itmo FastaReader.java:55-66)
+//   - FASTQ: 4-line records; any invalid sequence character or any
+//     quality char equal to the phred offset (phred 0) drops the read
+//     (itmo FastqReader.java:74-85, FastaReaderFromXQSource.java:63-77)
+//
+// Exposed via a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ASCII -> 2-bit code (A=0, G=1, C=2, T=3; itmo DnaTools.java:31-64)
+// 255 = invalid
+struct Lut {
+    uint8_t m[256];
+    Lut() {
+        memset(m, 255, sizeof(m));
+        m[(int)'A'] = m[(int)'a'] = 0;
+        m[(int)'G'] = m[(int)'g'] = 1;
+        m[(int)'C'] = m[(int)'c'] = 2;
+        m[(int)'T'] = m[(int)'t'] = 3;
+    }
+};
+const Lut LUT;
+
+}  // namespace
+
+extern "C" {
+
+// Parse FASTA text.
+//   text, n          input buffer
+//   codes, codes_cap output concatenated 2-bit codes (one byte per base)
+//   lengths, max_reads  per-read lengths
+// Returns number of reads written; *n_skipped counts dropped reads;
+// *consumed is bytes of input processed (always n for one-shot use).
+// A read whose codes would overflow codes_cap stops the scan early
+// (*consumed < n lets the caller continue with the rest).
+int64_t parse_fasta(const uint8_t* text, int64_t n,
+                    uint8_t* codes, int64_t codes_cap,
+                    int32_t* lengths, int64_t max_reads,
+                    int64_t* n_skipped, int64_t* consumed) {
+    int64_t reads = 0, skipped = 0;
+    int64_t out = 0;
+    int64_t i = 0;
+    int64_t read_start_in = 0;  // input offset where current record started
+    int64_t read_start_out = 0;
+    bool in_read = false, bad = false;
+
+    auto finish_read = [&]() {
+        if (!in_read) return true;
+        int64_t len = out - read_start_out;
+        if (bad || len == 0) {
+            out = read_start_out;
+            skipped++;
+        } else {
+            if (reads >= max_reads) return false;
+            lengths[reads++] = (int32_t)len;
+            read_start_out = out;
+        }
+        in_read = false;
+        bad = false;
+        return true;
+    };
+
+    while (i < n) {
+        uint8_t c = text[i];
+        if (c == '>' || c == ';') {
+            if (!finish_read()) { *n_skipped = skipped; *consumed = read_start_in; return reads; }
+            read_start_in = i;
+            // skip header line
+            while (i < n && text[i] != '\n') i++;
+            i++;
+            in_read = true;
+            bad = false;
+            read_start_out = out;
+            continue;
+        }
+        if (c == '\n' || c == '\r') { i++; continue; }
+        if (!in_read) { i++; continue; }  // leading garbage
+        uint8_t v = LUT.m[c];
+        if (v == 255) {
+            bad = true;
+            i++;
+            continue;
+        }
+        if (out >= codes_cap) { *n_skipped = skipped; *consumed = read_start_in; return reads; }
+        codes[out++] = v;
+        i++;
+    }
+    finish_read();
+    *n_skipped = skipped;
+    *consumed = n;
+    return reads;
+}
+
+// Parse FASTQ text (4-line records).  phred_offset: 33 or 64.
+int64_t parse_fastq(const uint8_t* text, int64_t n, int32_t phred_offset,
+                    uint8_t* codes, int64_t codes_cap,
+                    int32_t* lengths, int64_t max_reads,
+                    int64_t* n_skipped, int64_t* consumed) {
+    int64_t reads = 0, skipped = 0;
+    int64_t out = 0;
+    int64_t i = 0;
+
+    while (i < n) {
+        int64_t rec_start = i;
+        // line 1: @header
+        if (text[i] != '@') { i++; continue; }
+        while (i < n && text[i] != '\n') i++;
+        if (i >= n) break;
+        i++;
+        // line 2: sequence
+        int64_t seq_start = i;
+        while (i < n && text[i] != '\n') i++;
+        if (i >= n) break;
+        int64_t seq_end = i;
+        while (seq_end > seq_start && text[seq_end - 1] == '\r') seq_end--;
+        i++;
+        // line 3: +
+        if (i >= n || text[i] != '+') break;
+        while (i < n && text[i] != '\n') i++;
+        if (i >= n) break;
+        i++;
+        // line 4: quality
+        int64_t q_start = i;
+        while (i < n && text[i] != '\n') i++;
+        int64_t q_end = i;
+        while (q_end > q_start && text[q_end - 1] == '\r') q_end--;
+        if (q_end - q_start < seq_end - seq_start) {
+            if (i >= n) { break; }  // truncated record: wait for more input
+        }
+        if (i < n) i++;
+
+        int64_t len = seq_end - seq_start;
+        if (reads >= max_reads || out + len > codes_cap) {
+            *n_skipped = skipped;
+            *consumed = rec_start;
+            return reads;
+        }
+        bool bad = false;
+        for (int64_t p = 0; p < len; p++) {
+            uint8_t v = LUT.m[text[seq_start + p]];
+            uint8_t q = text[q_start + p];
+            // '.' and 'N' carry phred 0 by convention; any phred-0 base
+            // drops the read (itmo FastaReaderFromXQSource.java:63-77)
+            if (v == 255 || (int32_t)q <= phred_offset) {
+                bad = true;
+                break;
+            }
+            codes[out + p] = v;
+        }
+        if (bad) {
+            skipped++;
+        } else {
+            out += len;
+            lengths[reads++] = (int32_t)len;
+        }
+    }
+    *n_skipped = skipped;
+    *consumed = n;
+    return reads;
+}
+
+// Canonical k-mer extraction on host (for CPU-side tools): fills keys
+// with min(fw, rc) for every window of every read; returns #keys.
+int64_t extract_canonical(const uint8_t* codes, const int32_t* lengths,
+                          int64_t n_reads, int32_t k, int64_t* keys,
+                          int64_t keys_cap) {
+    int64_t out = 0;
+    int64_t off = 0;
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    for (int64_t r = 0; r < n_reads; r++) {
+        int32_t len = lengths[r];
+        if (len >= k) {
+            uint64_t fw = 0, rc = 0;
+            for (int32_t p = 0; p < len; p++) {
+                uint64_t c = codes[off + p];
+                fw = ((fw << 2) | c) & mask;
+                rc = (rc >> 2) | ((3ULL - c) << (2 * (k - 1)));
+                if (p >= k - 1) {
+                    if (out >= keys_cap) return out;
+                    keys[out++] = (int64_t)(fw < rc ? fw : rc);
+                }
+            }
+        }
+        off += len;
+    }
+    return out;
+}
+
+}  // extern "C"
