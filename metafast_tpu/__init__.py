@@ -11,4 +11,22 @@ architected for SPMD execution over device meshes rather than shared-memory
 Java threads.
 """
 
+import os as _os
+
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the counting pipeline uses a bounded
+# family of power-of-two shape signatures; caching them makes every process
+# after the first start hot (a single large-sort compile can cost minutes
+# on TPU).  Respect an explicit user setting.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/metafast_tpu/xla"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is a pure optimization
+        pass

@@ -54,9 +54,10 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
                 codes, lengths = codes[sel], lengths[keep]
             n_reads += total
             n_skipped += skipped
-            from .io.native_reads import to_batches
-            for bcodes, blens in to_batches(codes, lengths, batch_reads):
-                counter.add_batch(bcodes, blens)
+            from .io.native_reads import to_packed_batches
+            for packed, blens, L in to_packed_batches(codes, lengths,
+                                                      batch_reads):
+                counter.add_packed_batch(packed, blens, L)
                 if progress is not None:
                     progress(path, None)
             continue

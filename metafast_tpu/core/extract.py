@@ -71,3 +71,21 @@ def extract_canonical(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
     hi = jnp.where(valid, hi, U32(bp.SENTINEL))
     lo = jnp.where(valid, lo, U32(bp.SENTINEL))
     return hi, lo, valid
+
+
+def unpack_2bit(packed: jnp.ndarray, L: int) -> jnp.ndarray:
+    """[B, L//4] packed bytes (4 codes each, little-end first) -> [B, L]."""
+    B = packed.shape[0]
+    p = packed.astype(U32)
+    codes = jnp.stack([(p >> (2 * j)) & U32(3) for j in range(4)], axis=-1)
+    return codes.reshape(B, -1)[:, :L]
+
+
+def extract_canonical_packed(packed: jnp.ndarray, lengths: jnp.ndarray,
+                             k: int, L: int):
+    """extract_canonical over 2-bit packed input (4 codes/byte).
+
+    Packing the host->device transfer 4x matters when the device link is
+    the bottleneck (tunneled TPU or PCIe).
+    """
+    return extract_canonical(unpack_2bit(packed, L), lengths, k)

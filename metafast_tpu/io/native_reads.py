@@ -24,6 +24,8 @@ def parse_file(path: str) -> tuple[np.ndarray, np.ndarray, int] | None:
     import bz2 as _bz2
     import gzip as _gzip
     fmt, comp = pyreads.detect_format(path)
+    if fmt not in ("fasta", "fastq"):
+        return None     # binq etc: python fallback
     if comp == "gz":
         raw = _gzip.open(path, "rb").read()
     elif comp == "bz2":
@@ -62,12 +64,30 @@ def to_batches(codes: np.ndarray, lengths: np.ndarray, batch_reads: int,
     concatenated code stream."""
     offsets = np.r_[0, np.cumsum(lengths.astype(np.int64))]
     n = len(lengths)
+    # fixed row count per batch (zero-length padding rows on the tail) so
+    # every batch hits the same compiled kernel signature
     for s in range(0, n, batch_reads):
         e = min(s + batch_reads, n)
-        ls = lengths[s:e]
-        maxlen = int(ls.max()) if len(ls) else 0
+        ls = np.zeros(batch_reads, dtype=np.int32)
+        ls[: e - s] = lengths[s:e]
+        maxlen = int(ls.max()) if e > s else 0
         L = max(pad_to, -(-maxlen // pad_to) * pad_to)
-        out = np.zeros((e - s, L), dtype=np.uint8)
+        out = np.zeros((batch_reads, L), dtype=np.uint8)
         mask = np.arange(L)[None, :] < ls[:, None]
         out[mask] = codes[offsets[s]:offsets[e]]
-        yield out, ls.astype(np.int32)
+        yield out, ls
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """[B, L] codes (L % 4 == 0) -> [B, L//4] packed bytes."""
+    B, L = codes.shape
+    c = codes.reshape(B, L // 4, 4).astype(np.uint16)
+    return (c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4)
+            | (c[..., 3] << 6)).astype(np.uint8)
+
+
+def to_packed_batches(codes: np.ndarray, lengths: np.ndarray,
+                      batch_reads: int, pad_to: int = 128):
+    """Like to_batches but yields ([B, L//4] packed, lengths, L)."""
+    for out, ls in to_batches(codes, lengths, batch_reads, pad_to):
+        yield pack_2bit(out), ls, out.shape[1]

@@ -52,6 +52,8 @@ def detect_format(path: str) -> tuple[str, str]:
         return "fastq", comp
     if name.endswith(FASTA_EXTS):
         return "fasta", comp
+    if name.endswith(".binq"):
+        return "binq", comp
     raise ValueError(f"Can't detect file format for file '{os.path.basename(path)}'")
 
 
@@ -63,7 +65,7 @@ def library_name(path: str) -> str:
         name, low = name[:-3], low[:-3]
     elif low.endswith(".bz2"):
         name, low = name[:-4], low[:-4]
-    for ext in FASTQ_EXTS + FASTA_EXTS:
+    for ext in FASTQ_EXTS + FASTA_EXTS + (".binq",):
         if low.endswith(ext):
             return name[: -len(ext)]
     return name
@@ -137,6 +139,32 @@ def _detect_quality_format(path: str, head: int = 1000) -> int:
     return 64
 
 
+def _iter_binq(path: str) -> Iterator[str]:
+    """BINQ: {int32 big-endian len, len x packed bytes (phred<<2 | nuc)};
+    0xFF padding bytes between records are skipped; reads with any phred-0
+    base are dropped (itmo io/readers/BinqReader.java:55-88,
+    dna/DnaQ.java:124-133, FastaReaderFromXQSource.java:63-77)."""
+    chars = "AGCT"
+    with open(path, "rb") as fh:
+        data = fh.read()
+    i = 0
+    n = len(data)
+    while i < n:
+        while i < n and data[i] == 255:
+            i += 1
+        if i + 4 > n:
+            break
+        ln = int.from_bytes(data[i:i + 4], "big")
+        i += 4
+        if i + ln > n:
+            break
+        rec = np.frombuffer(data, dtype=np.uint8, count=ln, offset=i)
+        i += ln
+        if (rec >> 2 == 0).any():
+            continue
+        yield "".join(chars[c] for c in (rec & 3))
+
+
 def iter_reads(path: str) -> Iterator[str]:
     """Yield read sequences (strings) with reference skip semantics applied.
 
@@ -145,6 +173,10 @@ def iter_reads(path: str) -> Iterator[str]:
     (N/n/. or minimum-quality char under the detected format).
     """
     fmt, fh = _open_text(path)
+    if fmt == "binq":
+        fh.close()
+        yield from _iter_binq(path)
+        return
     try:
         if fmt == "fasta":
             for seq in _iter_fasta(fh):
