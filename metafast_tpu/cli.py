@@ -112,6 +112,9 @@ def main(argv: list[str] | None = None) -> int:
     if "--tools" in argv:
         _print_tools()
         return 0
+    if "--gui" in argv:
+        from .gui import run_wizard
+        return run_wizard([a for a in argv if a != "--gui"])
 
     tool_name, opts = parse_args(argv)
     tool_cls = fw.get_tool(tool_name or DEFAULT_TOOL)

@@ -58,3 +58,30 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+@needs_8
+def test_sharded_components_match():
+    import jax.numpy as jnp
+    import metafast_tpu.core.bitpack as bp
+    from metafast_tpu.graph.components import adjacency, connected_labels
+    from metafast_tpu.parallel.components import sharded_connected_labels
+    from metafast_tpu.utils.kmers import sequence_kmers
+
+    seqs = ["ACGGTCAGATTCAGGACTT", "GGTTGACCAGTAGGCAT", "TTTTTCCCCGGGAAA"]
+    k = 9
+    keys = np.unique(np.concatenate([sequence_kmers(s, k) for s in seqs]))
+    M0 = len(keys)
+    M = 64
+    khi = np.full(M, bp.SENTINEL, np.uint32)
+    klo = np.full(M, bp.SENTINEL, np.uint32)
+    u = keys.astype(np.uint64)
+    khi[:M0] = (u >> np.uint64(32)).astype(np.uint32)
+    klo[:M0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    nbr = np.asarray(adjacency(jnp.asarray(khi), jnp.asarray(klo), k))
+    active = np.zeros(M, bool)
+    active[:M0] = True
+
+    single = np.asarray(connected_labels(jnp.asarray(nbr), jnp.asarray(active)))
+    sharded = sharded_connected_labels(nbr, active, make_mesh(8))
+    assert np.array_equal(single, sharded)
