@@ -39,7 +39,7 @@ def test_wizard_builds_command_without_running():
     rc = run_wizard(input_fn=lambda prompt: next(inputs),
                     print_fn=lambda *a: outs.append(" ".join(map(str, a))))
     assert rc == 0
-    cmd = [o for o in outs if o.startswith("Command:")]
+    cmd = [o for o in outs if "Command:" in o]
     assert cmd and "-t view" in cmd[0]
 
 
