@@ -54,11 +54,10 @@ def main():
         n_kmers = make_fasta(fasta)
 
         # warm-up: compile (and persist) the kernel signatures
-        api.count_reads_files([fasta], K, batch_reads=8192)
+        api.count_reads_files([fasta], K)
 
         t0 = time.perf_counter()
-        keys, counts, stats = api.count_reads_files(
-            [fasta], K, batch_reads=8192)
+        keys, counts, stats = api.count_reads_files([fasta], K)
         dt = time.perf_counter() - t0
 
     rate = n_kmers / dt

@@ -64,18 +64,27 @@ def to_batches(codes: np.ndarray, lengths: np.ndarray, batch_reads: int,
     concatenated code stream."""
     offsets = np.r_[0, np.cumsum(lengths.astype(np.int64))]
     n = len(lengths)
-    # fixed row count per batch (zero-length padding rows on the tail) so
-    # every batch hits the same compiled kernel signature
+    # full batches use a fixed row count; the tail (or a small file) is
+    # bucketed to the next power of two, so kernel signatures stay a
+    # bounded set while small inputs don't pay for batch_reads rows
     for s in range(0, n, batch_reads):
         e = min(s + batch_reads, n)
-        ls = np.zeros(batch_reads, dtype=np.int32)
+        rows = batch_reads if e - s == batch_reads else _pow2_rows(e - s)
+        ls = np.zeros(rows, dtype=np.int32)
         ls[: e - s] = lengths[s:e]
         maxlen = int(ls.max()) if e > s else 0
         L = max(pad_to, -(-maxlen // pad_to) * pad_to)
-        out = np.zeros((batch_reads, L), dtype=np.uint8)
+        out = np.zeros((rows, L), dtype=np.uint8)
         mask = np.arange(L)[None, :] < ls[:, None]
         out[mask] = codes[offsets[s]:offsets[e]]
         yield out, ls
+
+
+def _pow2_rows(n: int) -> int:
+    r = 16
+    while r < n:
+        r *= 2
+    return r
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:

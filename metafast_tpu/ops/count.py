@@ -31,23 +31,28 @@ SATURATE = 32767
 # on TPU), so the stages are jitted separately.  Large-sort compiles are
 # also written to the persistent compilation cache (metafast_tpu/__init__).
 
-@partial(jax.jit, static_argnames=("k",))
-def _extract_flat(codes, lengths, k: int):
+def _pad1(x, out: int, fill):
+    n = x.shape[0]
+    if out == n:
+        return x
+    return jnp.concatenate([x, jnp.full((out - n,), fill, x.dtype)])
+
+
+@partial(jax.jit, static_argnames=("k", "out"))
+def _extract_flat(codes, lengths, k: int, out: int = 0):
     from ..core.extract import extract_canonical
 
     hi, lo, _valid = extract_canonical(codes, lengths, k)
-    return hi.ravel(), lo.ravel()
+    hi, lo = hi.ravel(), lo.ravel()
+    if out:
+        hi = _pad1(hi, out, bp.SENTINEL)
+        lo = _pad1(lo, out, bp.SENTINEL)
+    return hi, lo
 
 
 @jax.jit
 def _sort_pair(hi, lo):
     return jax.lax.sort((hi, lo), num_keys=2)
-
-
-@jax.jit
-def _rle_ones(hi, lo):
-    ones = jnp.where(bp.is_sentinel(hi, lo), 0, 1).astype(jnp.int32)
-    return _rle(hi, lo, ones)
 
 
 def count_batch(codes, lengths, k: int):
@@ -61,12 +66,16 @@ def count_batch(codes, lengths, k: int):
     return count_flat(hi, lo)
 
 
-@partial(jax.jit, static_argnames=("k", "L"))
-def _extract_flat_packed(packed, lengths, k: int, L: int):
+@partial(jax.jit, static_argnames=("k", "L", "out"))
+def _extract_flat_packed(packed, lengths, k: int, L: int, out: int = 0):
     from ..core.extract import extract_canonical_packed
 
     hi, lo, _valid = extract_canonical_packed(packed, lengths, k, L)
-    return hi.ravel(), lo.ravel()
+    hi, lo = hi.ravel(), lo.ravel()
+    if out:
+        hi = _pad1(hi, out, bp.SENTINEL)
+        lo = _pad1(lo, out, bp.SENTINEL)
+    return hi, lo
 
 
 def count_batch_packed(packed, lengths, k: int, L: int):
@@ -79,7 +88,7 @@ def count_batch_packed(packed, lengths, k: int, L: int):
 def count_flat(hi, lo):
     """Sort + RLE a flat array of (hi, lo) keys (SENTINEL = ignore)."""
     hi, lo = _sort_pair(hi, lo)
-    return _rle_ones(hi, lo)
+    return _rle_compact_ones(hi, lo)
 
 
 @jax.jit
@@ -88,8 +97,8 @@ def _sort_triple(hi, lo, cnt):
 
 
 @jax.jit
-def _rle_weighted(hi, lo, cnt):
-    return _rle(hi, lo, cnt)
+def _concat_pair(hi_a, lo_a, hi_b, lo_b):
+    return jnp.concatenate([hi_a, hi_b]), jnp.concatenate([lo_a, lo_b])
 
 
 def merge_counted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
@@ -101,12 +110,29 @@ def merge_counted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
     lo = jnp.concatenate([lo_a, lo_b])
     cnt = jnp.concatenate([cnt_a, cnt_b]).astype(jnp.int32)
     hi, lo, cnt = _sort_triple(hi, lo, cnt)
-    return _rle_weighted(hi, lo, cnt)
+    return _rle_compact_weighted(hi, lo, cnt)
 
 
-def _rle(hi, lo, weights):
+@jax.jit
+def _rle_compact_ones(hi, lo):
+    hi, lo, cnt = _rle_sparse(hi, lo, None)
+    return _sort_triple(hi, lo, cnt)
+
+
+@jax.jit
+def _rle_compact_weighted(hi, lo, cnt):
+    hi, lo, cnt = _rle_sparse(hi, lo, cnt)
+    return _sort_triple(hi, lo, cnt)
+
+
+def _rle_sparse(hi, lo, weights):
     """Run-length reduce sorted keys, summing `weights` (saturating).
 
+    Scatter-free (TPU scatters are slow): run totals come from one gather
+    into the weight prefix-sum at the next run start, so the result stays
+    *in place* — run-start slots keep their key and carry the run total,
+    all other slots become SENTINEL/0.  Callers compact by re-sorting
+    (`_sort_triple`), which moves live entries to the front in key order.
     Keys equal to SENTINEL contribute nothing and are emitted as padding.
     """
     n = hi.shape[0]
@@ -114,29 +140,39 @@ def _rle(hi, lo, weights):
     prev_hi = jnp.concatenate([jnp.zeros((1,), dtype=U32), hi[:-1]])
     prev_lo = jnp.concatenate([jnp.zeros((1,), dtype=U32), lo[:-1]])
     is_new = (hi != prev_hi) | (lo != prev_lo)
-    # position 0 is always a run start
     is_new = is_new.at[0].set(True)
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1          # run id per element
-    totals = jax.ops.segment_sum(weights, seg, num_segments=n)
-    totals = jnp.minimum(totals, SATURATE)
 
-    # compact run-start keys to the front
-    out_hi = jnp.full((n,), bp.SENTINEL, dtype=U32)
-    out_lo = jnp.full((n,), bp.SENTINEL, dtype=U32)
-    idx = jnp.where(is_new & ~sent, seg, n)                  # drop sentinel run
-    out_hi = out_hi.at[idx].set(hi, mode="drop")
-    out_lo = out_lo.at[idx].set(lo, mode="drop")
-    counts = jnp.where(bp.is_sentinel(out_hi, out_lo), 0, totals).astype(jnp.int32)
+    if weights is None:
+        w = jnp.where(sent, 0, 1).astype(jnp.int64)
+    else:
+        w = jnp.where(sent, 0, weights).astype(jnp.int64)
+    cw = jnp.cumsum(w)                                     # inclusive
+    iota = jnp.arange(n, dtype=jnp.int32)
+    start_idx = jnp.where(is_new, iota, n).astype(jnp.int32)
+    # next run start strictly after i = reverse-inclusive cummin, shifted
+    rmin = jax.lax.associative_scan(jnp.minimum, start_idx, reverse=True)
+    nxt = jnp.concatenate([rmin[1:], jnp.full((1,), n, jnp.int32)])
+    # total of the run starting at i = cw[nxt-1] - cw[i-1]
+    #                                = cw[nxt-1] - (cw[i] - w[i])
+    run_end = cw[jnp.clip(nxt - 1, 0, n - 1)]
+    totals = run_end - cw + w
+    live = is_new & ~sent
+    out_hi = jnp.where(live, hi, U32(bp.SENTINEL))
+    out_lo = jnp.where(live, lo, U32(bp.SENTINEL))
+    counts = jnp.where(live, jnp.minimum(totals, SATURATE), 0).astype(jnp.int32)
     return out_hi, out_lo, counts
+
+
+def _pow2(n: int) -> int:
+    size = 16
+    while size < n:
+        size *= 2
+    return size
 
 
 def _pad_pow2(hi, lo, cnt):
     """Pad a counted table with sentinels up to the next power of two."""
-    n = hi.shape[0]
-    size = 16
-    while size < n:
-        size *= 2
-    return _pad_to((hi, lo, cnt), size)
+    return _pad_to((hi, lo, cnt), _pow2(hi.shape[0]))
 
 
 def _pad_to(table, size):
@@ -163,50 +199,94 @@ def _empty(n=16):
 class KmerCounter:
     """Streaming canonical k-mer counter over read batches.
 
-    The accumulation table lives ON DEVICE: host<->device transfers can be
-    orders of magnitude slower than compute (tunneled TPU), so per-batch
-    results are never pulled to the host.  Tables merge by a binary
-    counter over power-of-two sizes — a merge only ever pairs two tables
-    of the same size, so `merge_counted` sees one shape signature per
-    level (XLA sort compile time grows superlinearly with size on TPU and
-    each signature costs a full compile, amortized by the persistent
-    compilation cache).  After each merge the table is trimmed to the
-    smallest power of two holding its live uniques (a cheap slice), so
-    table sizes track the unique count, not the raw stream length.
+    All state lives ON DEVICE: host<->device round-trips can be orders of
+    magnitude slower than compute (tunneled TPU), so the per-batch path is
+    fully asynchronous — extracted keys accumulate in a concat-only binary
+    counter over power-of-two sizes (every concatenate pairs two arrays of
+    the same size, so XLA sees a bounded set of shape signatures).  Only
+    when a raw level reaches ``chunk`` keys is it counted: one large sort
+    + run-length reduce (large sorts amortize dispatch latency ~100x
+    better than per-batch sorts), followed by a single host sync to trim
+    the counted table down to pow2(live uniques).  Counted tables merge by
+    the same binary-counter discipline via `merge_counted`.  Compiles are
+    amortized by the persistent compilation cache (metafast_tpu/__init__).
     Counts saturate at 32767 (reference parity, itmo NumUtils.java:21-26).
     """
 
-    def __init__(self, k: int, capacity: int = 1 << 16):
+    def __init__(self, k: int, capacity: int = 1 << 16,
+                 chunk: int = 1 << 27):
         self.k = k
         self._levels: dict = {}     # pow2 size -> counted (hi, lo, cnt)
-        self._total: list | int = []  # device scalars; realized lazily
+        self._raw: dict = {}        # pow2 size -> raw (hi, lo) key arrays
+        self._chunk = chunk         # raw keys per sort+RLE consolidation
+        self._total_host = 0
+        self._total_dev: list = []  # deferred device scalars
 
     @property
     def total_kmers_seen(self) -> int:
         """Total k-mers seen (realizes the deferred device sums)."""
-        if isinstance(self._total, list):
-            self._total = sum(int(x) for x in self._total)
-        return self._total or 0
+        if self._total_dev:
+            self._total_host += sum(int(x) for x in self._total_dev)
+            self._total_dev = []
+        return self._total_host
 
-    def _add_total(self, bcnt) -> None:
-        # keep per-batch device scalars; summing on host at realization
-        # avoids both a per-batch sync and int32 overflow
-        if not isinstance(self._total, list):
-            self._total = [self._total] if self._total else []
-        self._total.append(jnp.sum(bcnt))
+    def _add_total_from_lengths(self, lengths) -> None:
+        # k-mers per read = max(len - k + 1, 0); for host arrays this
+        # costs nothing, for device arrays defer the scalar fetch
+        if isinstance(lengths, np.ndarray):
+            self._total_host += int(
+                np.maximum(lengths.astype(np.int64) - self.k + 1, 0).sum())
+        else:
+            self._total_dev.append(jnp.sum(jnp.maximum(
+                lengths.astype(jnp.int64) - self.k + 1, 0)))
 
     def add_batch(self, codes, lengths):
         """codes [B, L] uint8, lengths [B] int32 (numpy or jnp)."""
-        bhi, blo, bcnt = count_batch(jnp.asarray(codes),
-                                     jnp.asarray(lengths), self.k)
-        self._add_total(bcnt)
-        self._insert(self._trim((bhi, blo, bcnt)))
+        codes = jnp.asarray(codes)
+        B, L = codes.shape
+        out = _pow2(B * (L - self.k + 1))
+        self._add_total_from_lengths(lengths)
+        bhi, blo = _extract_flat(codes, jnp.asarray(lengths), self.k,
+                                 out=out)
+        self._raw_insert(bhi, blo)
 
     def add_packed_batch(self, packed, lengths, L: int):
         """packed [B, L//4] uint8 (2-bit codes), lengths [B] int32."""
-        bhi, blo, bcnt = count_batch_packed(packed, lengths, self.k, L)
-        self._add_total(bcnt)
-        self._insert(self._trim((bhi, blo, bcnt)))
+        packed = jnp.asarray(packed)
+        out = _pow2(packed.shape[0] * (L - self.k + 1))
+        self._add_total_from_lengths(lengths)
+        bhi, blo = _extract_flat_packed(packed, jnp.asarray(lengths),
+                                        self.k, L, out=out)
+        self._raw_insert(bhi, blo)
+
+    # -- raw (uncounted) key accumulation ----------------------------------
+
+    def _raw_insert(self, hi, lo) -> None:
+        size = hi.shape[0]          # already a power of two
+        while size in self._raw:
+            ohi, olo = self._raw.pop(size)
+            hi, lo = _concat_pair(hi, lo, ohi, olo)
+            size *= 2
+        if size >= self._chunk:
+            self._insert(self._trim(count_flat(hi, lo)))
+        else:
+            self._raw[size] = (hi, lo)
+
+    def _consolidate_raw(self) -> None:
+        if not self._raw:
+            return
+        # merge levels smallest-first, sentinel-padding each to its
+        # partner's size so every concat pairs two equal pow2 arrays
+        # (bounded shape-signature set, same as _raw_insert)
+        sizes = sorted(self._raw)
+        hi, lo = self._raw[sizes[0]]
+        for s in sizes[1:]:
+            ohi, olo = self._raw[s]
+            hi = _pad1(hi, s, bp.SENTINEL)
+            lo = _pad1(lo, s, bp.SENTINEL)
+            hi, lo = _concat_pair(hi, lo, ohi, olo)
+        self._raw = {}
+        self._insert(self._trim(count_flat(hi, lo)))
 
     def add_counted(self, hi, lo, cnt):
         """Fold an already-counted table in (uint32 pair + count arrays)."""
@@ -249,6 +329,7 @@ class KmerCounter:
 
     def finish(self):
         """Return (keys int64 sorted ascending, counts int32) as numpy."""
+        self._consolidate_raw()
         if not self._levels:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
         while len(self._levels) > 1:
@@ -262,5 +343,11 @@ class KmerCounter:
         live = cnt > 0
         keys = ((hi[live].astype(np.uint64) << np.uint64(32))
                 | lo[live].astype(np.uint64)).astype(np.int64)
-        order = np.argsort(keys)
-        return keys[order], cnt[live][order]
+        cnt = cnt[live]
+        # the device table is compacted in ascending (hi, lo) order, which
+        # int64 keys preserve for k <= 31 (keys < 2^62); the sort below is
+        # a guarded no-op kept for safety
+        if len(keys) > 1 and not np.all(keys[:-1] < keys[1:]):
+            order = np.argsort(keys)
+            keys, cnt = keys[order], cnt[order]
+        return keys, cnt
