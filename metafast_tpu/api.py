@@ -24,7 +24,7 @@ def join_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 
 def count_reads_files(files: list[str], k: int, min_len: int = 0,
-                      batch_reads: int = 65536, progress=None):
+                      batch_reads: int = 1 << 19, progress=None):
     """Canonical k-mer counts over read/sequence files (one sample).
 
     Parity: IOUtils.loadReads (src/io/IOUtils.java:742-803) — all files

@@ -52,6 +52,8 @@ def load_library():
         lib.extract_canonical.restype = i64
         lib.extract_canonical.argtypes = [p8, p32, i64, ctypes.c_int32, p64,
                                           i64]
+        lib.pack_batch.restype = None
+        lib.pack_batch.argtypes = [p8, p64, i64, ctypes.c_int32, p8, i64]
         _lib = lib
         return _lib
 

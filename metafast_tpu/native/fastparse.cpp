@@ -199,4 +199,35 @@ int64_t extract_canonical(const uint8_t* codes, const int32_t* lengths,
     return out;
 }
 
+// Pack a batch of reads into a row-padded 2-bit matrix in one pass.
+//   codes     concatenated 2-bit-per-byte code stream
+//   offsets   per-read start offsets into codes, n_reads+1 entries
+//   out       rows x (L/4) bytes, rows >= n_reads; fully overwritten
+// Replaces the two-pass NumPy pad-then-pack (native_reads.to_batches +
+// pack_2bit), which costs ~1s per 100M bases on the host hot path.
+void pack_batch(const uint8_t* codes, const int64_t* offsets,
+                int64_t n_reads, int32_t L, uint8_t* out, int64_t rows) {
+    const int64_t stride = L / 4;
+    for (int64_t r = 0; r < n_reads; r++) {
+        const uint8_t* src = codes + offsets[r];
+        int64_t len = offsets[r + 1] - offsets[r];
+        uint8_t* dst = out + r * stride;
+        int64_t full = len / 4;
+        int64_t j = 0;
+        for (; j < full; j++) {
+            const uint8_t* s = src + 4 * j;
+            dst[j] = (uint8_t)(s[0] | (s[1] << 2) | (s[2] << 4) | (s[3] << 6));
+        }
+        if (4 * j < len) {
+            uint8_t b = 0;
+            for (int64_t t = 4 * j; t < len; t++)
+                b |= (uint8_t)(src[t] << (2 * (t - 4 * j)));
+            dst[j++] = b;
+        }
+        if (j < stride) memset(dst + j, 0, (size_t)(stride - j));
+    }
+    if (n_reads < rows)
+        memset(out + n_reads * stride, 0, (size_t)((rows - n_reads) * stride));
+}
+
 }  // extern "C"

@@ -96,11 +96,6 @@ def _sort_triple(hi, lo, cnt):
     return jax.lax.sort((hi, lo, cnt), num_keys=2)
 
 
-@jax.jit
-def _concat_pair(hi_a, lo_a, hi_b, lo_b):
-    return jnp.concatenate([hi_a, hi_b]), jnp.concatenate([lo_a, lo_b])
-
-
 def merge_counted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
     """Merge two counted (sorted, sentinel-padded) arrays with saturating add.
 
@@ -115,25 +110,80 @@ def merge_counted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
 
 @jax.jit
 def _rle_compact_ones(hi, lo):
-    hi, lo, cnt = _rle_sparse(hi, lo, None)
-    return _sort_triple(hi, lo, cnt)
+    """Run-length reduce SORTED keys with unit weights.
+
+    With unit weights every run total is pure index arithmetic — the run
+    of the r-th unique key spans [oidx[r], nxt[r]) in the sorted input
+    (nxt = the (r+1)-th key's start, clipped to the live prefix length,
+    since sentinels sort to the end) — so the only work beyond the
+    compaction sort is elementwise.
+    """
+    n = hi.shape[0]
+    sent = bp.is_sentinel(hi, lo)
+    n_live = jnp.sum(~sent).astype(jnp.int32)
+    prev_hi = jnp.concatenate([jnp.zeros((1,), dtype=U32), hi[:-1]])
+    prev_lo = jnp.concatenate([jnp.zeros((1,), dtype=U32), lo[:-1]])
+    is_new = (hi != prev_hi) | (lo != prev_lo)
+    is_new = is_new.at[0].set(True)
+    live = is_new & ~sent
+    s_hi = jnp.where(live, hi, U32(bp.SENTINEL))
+    s_lo = jnp.where(live, lo, U32(bp.SENTINEL))
+    oidx = jnp.where(live, jnp.arange(n, dtype=jnp.int32), n)
+    s_hi, s_lo, oidx = jax.lax.sort((s_hi, s_lo, oidx), num_keys=2)
+    nxt = jnp.concatenate([oidx[1:], jnp.full((1,), n, jnp.int32)])
+    totals = jnp.minimum(nxt, n_live) - oidx
+    counts = jnp.where(bp.is_sentinel(s_hi, s_lo), 0,
+                       jnp.minimum(totals, SATURATE)).astype(jnp.int32)
+    return s_hi, s_lo, counts
 
 
 @jax.jit
 def _rle_compact_weighted(hi, lo, cnt):
-    hi, lo, cnt = _rle_sparse(hi, lo, cnt)
-    return _sort_triple(hi, lo, cnt)
+    return _rle_compact(hi, lo, cnt)
 
 
-def _rle_sparse(hi, lo, weights):
-    """Run-length reduce sorted keys, summing `weights` (saturating).
+def _cumsum_flat(x):
+    """Inclusive cumsum of a flat pow2 int32 array, compile-time bounded.
 
-    Scatter-free (TPU scatters are slow): run totals come from one gather
-    into the weight prefix-sum at the next run start, so the result stays
-    *in place* — run-start slots keep their key and carry the run total,
-    all other slots become SENTINEL/0.  Callers compact by re-sorting
-    (`_sort_triple`), which moves live entries to the front in key order.
-    Keys equal to SENTINEL contribute nothing and are emitted as padding.
+    1D cumsum/associative_scan compile time on TPU grows superlinearly
+    with length (minutes at 2^20, unusable at 2^26); a row-wise cumsum's
+    compile cost is independent of the row count.  Decompose: cumsum rows
+    of a [n/C, C] view, then recursively prefix-sum the row totals.
+    """
+    n = x.shape[0]
+    C = 1024
+    if n <= 8 * C:
+        return jnp.cumsum(x)
+    if n % C:
+        r = C - n % C
+        return _cumsum_flat(jnp.concatenate(
+            [x, jnp.zeros((r,), x.dtype)]))[:n]
+    x2 = x.reshape(n // C, C)
+    s = jnp.cumsum(x2, axis=1)
+    row_tot = s[:, -1]
+    off = _cumsum_flat(row_tot) - row_tot          # exclusive row offsets
+    return (s + off[:, None]).reshape(n)
+
+
+def _rle_compact(hi, lo, weights):
+    """Run-length reduce SORTED keys, summing `weights` (saturating).
+
+    Output: unique keys compacted to the front in ascending order,
+    SENTINEL-padded tail, int32 counts (0 on padding).
+
+    Built only from compile-bounded primitives (no scatters — slow on
+    TPU; no 1D scans — pathological compile times, see _cumsum_flat):
+    run totals are differences of the weight prefix-sum between a run's
+    last element and the element before its first.  Run starts carry
+    (base = cw - w, original index) through one 4-array compaction sort;
+    the "cw at run end" term is then a gather at (next start's original
+    index - 1), which for the last run lands on cw[n-1] (trailing
+    sentinels have zero weight, so the prefix sum is flat there).
+
+    int32 wraparound is harmless: each run's TRUE total is < 2^31 (ones
+    weights: <= n <= 2^30; merge weights: two saturated tables sum to
+    <= 2*32767), and differences of wrapped prefix sums are exact mod
+    2^32 for any true difference < 2^31.
     """
     n = hi.shape[0]
     sent = bp.is_sentinel(hi, lo)
@@ -143,24 +193,24 @@ def _rle_sparse(hi, lo, weights):
     is_new = is_new.at[0].set(True)
 
     if weights is None:
-        w = jnp.where(sent, 0, 1).astype(jnp.int64)
+        w = jnp.where(sent, 0, 1).astype(jnp.int32)
     else:
-        w = jnp.where(sent, 0, weights).astype(jnp.int64)
-    cw = jnp.cumsum(w)                                     # inclusive
-    iota = jnp.arange(n, dtype=jnp.int32)
-    start_idx = jnp.where(is_new, iota, n).astype(jnp.int32)
-    # next run start strictly after i = reverse-inclusive cummin, shifted
-    rmin = jax.lax.associative_scan(jnp.minimum, start_idx, reverse=True)
-    nxt = jnp.concatenate([rmin[1:], jnp.full((1,), n, jnp.int32)])
-    # total of the run starting at i = cw[nxt-1] - cw[i-1]
-    #                                = cw[nxt-1] - (cw[i] - w[i])
-    run_end = cw[jnp.clip(nxt - 1, 0, n - 1)]
-    totals = run_end - cw + w
+        w = jnp.where(sent, 0, weights).astype(jnp.int32)
+    cw = _cumsum_flat(w)                                   # inclusive
     live = is_new & ~sent
-    out_hi = jnp.where(live, hi, U32(bp.SENTINEL))
-    out_lo = jnp.where(live, lo, U32(bp.SENTINEL))
-    counts = jnp.where(live, jnp.minimum(totals, SATURATE), 0).astype(jnp.int32)
-    return out_hi, out_lo, counts
+    s_hi = jnp.where(live, hi, U32(bp.SENTINEL))
+    s_lo = jnp.where(live, lo, U32(bp.SENTINEL))
+    base = jnp.where(live, cw - w, 0)
+    oidx = jnp.where(live, jnp.arange(n, dtype=jnp.int32), n)
+    s_hi, s_lo, base, oidx = jax.lax.sort((s_hi, s_lo, base, oidx),
+                                          num_keys=2)
+    nxt = jnp.concatenate([oidx[1:], jnp.full((1,), n, jnp.int32)])
+    run_end = cw[jnp.clip(nxt - 1, 0, n - 1)]
+    totals = run_end - base
+    out_sent = bp.is_sentinel(s_hi, s_lo)
+    counts = jnp.where(out_sent, 0,
+                       jnp.minimum(totals, SATURATE)).astype(jnp.int32)
+    return s_hi, s_lo, counts
 
 
 def _pow2(n: int) -> int:
@@ -168,6 +218,15 @@ def _pow2(n: int) -> int:
     while size < n:
         size *= 2
     return size
+
+
+def _bucket_size(n: int) -> int:
+    """Smallest s >= n with s in {2^k, 3*2^(k-1)}: <= 33% padding at twice
+    the shape-signature count of pure powers of two."""
+    p = _pow2(n)
+    if n <= 3 * (p // 4):
+        return 3 * (p // 4)
+    return p
 
 
 def _pad_pow2(hi, lo, cnt):
@@ -217,7 +276,8 @@ class KmerCounter:
                  chunk: int = 1 << 27):
         self.k = k
         self._levels: dict = {}     # pow2 size -> counted (hi, lo, cnt)
-        self._raw: dict = {}        # pow2 size -> raw (hi, lo) key arrays
+        self._pending: list = []    # raw (hi, lo) key arrays, uncounted
+        self._pending_n = 0
         self._chunk = chunk         # raw keys per sort+RLE consolidation
         self._total_host = 0
         self._total_dev: list = []  # deferred device scalars
@@ -242,50 +302,44 @@ class KmerCounter:
 
     def add_batch(self, codes, lengths):
         """codes [B, L] uint8, lengths [B] int32 (numpy or jnp)."""
-        codes = jnp.asarray(codes)
-        B, L = codes.shape
-        out = _pow2(B * (L - self.k + 1))
         self._add_total_from_lengths(lengths)
-        bhi, blo = _extract_flat(codes, jnp.asarray(lengths), self.k,
-                                 out=out)
-        self._raw_insert(bhi, blo)
+        bhi, blo = _extract_flat(jnp.asarray(codes), jnp.asarray(lengths),
+                                 self.k)
+        self._pending_insert(bhi, blo)
 
     def add_packed_batch(self, packed, lengths, L: int):
         """packed [B, L//4] uint8 (2-bit codes), lengths [B] int32."""
-        packed = jnp.asarray(packed)
-        out = _pow2(packed.shape[0] * (L - self.k + 1))
         self._add_total_from_lengths(lengths)
-        bhi, blo = _extract_flat_packed(packed, jnp.asarray(lengths),
-                                        self.k, L, out=out)
-        self._raw_insert(bhi, blo)
+        bhi, blo = _extract_flat_packed(jnp.asarray(packed),
+                                        jnp.asarray(lengths), self.k, L)
+        self._pending_insert(bhi, blo)
 
     # -- raw (uncounted) key accumulation ----------------------------------
 
-    def _raw_insert(self, hi, lo) -> None:
-        size = hi.shape[0]          # already a power of two
-        while size in self._raw:
-            ohi, olo = self._raw.pop(size)
-            hi, lo = _concat_pair(hi, lo, ohi, olo)
-            size *= 2
-        if size >= self._chunk:
-            self._insert(self._trim(count_flat(hi, lo)))
-        else:
-            self._raw[size] = (hi, lo)
+    def _pending_insert(self, hi, lo) -> None:
+        # batches queue asynchronously; keys are copied exactly once, by
+        # the single concatenate in _consolidate_pending (a binary
+        # counter over raw levels would copy each key log-many times,
+        # and device copies are not free)
+        self._pending.append((hi, lo))
+        self._pending_n += hi.shape[0]
+        if self._pending_n >= self._chunk:
+            self._consolidate_pending()
 
-    def _consolidate_raw(self) -> None:
-        if not self._raw:
+    def _consolidate_pending(self) -> None:
+        if not self._pending:
             return
-        # merge levels smallest-first, sentinel-padding each to its
-        # partner's size so every concat pairs two equal pow2 arrays
-        # (bounded shape-signature set, same as _raw_insert)
-        sizes = sorted(self._raw)
-        hi, lo = self._raw[sizes[0]]
-        for s in sizes[1:]:
-            ohi, olo = self._raw[s]
-            hi = _pad1(hi, s, bp.SENTINEL)
-            lo = _pad1(lo, s, bp.SENTINEL)
-            hi, lo = _concat_pair(hi, lo, ohi, olo)
-        self._raw = {}
+        size = _bucket_size(self._pending_n)
+        pad = size - self._pending_n
+        his = [p[0] for p in self._pending]
+        los = [p[1] for p in self._pending]
+        if pad:
+            his.append(jnp.full((pad,), bp.SENTINEL, U32))
+            los.append(jnp.full((pad,), bp.SENTINEL, U32))
+        hi = jnp.concatenate(his)
+        lo = jnp.concatenate(los)
+        self._pending = []
+        self._pending_n = 0
         self._insert(self._trim(count_flat(hi, lo)))
 
     def add_counted(self, hi, lo, cnt):
@@ -329,7 +383,7 @@ class KmerCounter:
 
     def finish(self):
         """Return (keys int64 sorted ascending, counts int32) as numpy."""
-        self._consolidate_raw()
+        self._consolidate_pending()
         if not self._levels:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
         while len(self._levels) > 1:
@@ -337,9 +391,21 @@ class KmerCounter:
             small = self._levels.pop(sizes[0])
             self._insert(_pad_to(small, sizes[1]))
         ((_, (hi, lo, cnt)),) = self._levels.items()
-        hi = np.asarray(hi)
-        lo = np.asarray(lo)
-        cnt = np.asarray(cnt)
+        # host transfers over a tunneled TPU run at tens of MB/s: slice
+        # the fetch to a fine-grained bucket of the live count, ship
+        # counts as int16 (saturation bound fits), and pull the three
+        # arrays on parallel streams
+        n_live = int(jnp.sum(cnt > 0))
+        g = 1 << 20
+        m = _pow2(n_live) if n_live < g else -(-n_live // g) * g
+        m = min(hi.shape[0], m)
+        hi16 = jax.lax.slice_in_dim(hi, 0, m)
+        lo16 = jax.lax.slice_in_dim(lo, 0, m)
+        cnt16 = jax.lax.slice_in_dim(cnt, 0, m).astype(jnp.int16)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(3) as ex:
+            hi, lo, cnt = ex.map(np.asarray, (hi16, lo16, cnt16))
+        cnt = cnt.astype(np.int32)          # saturation bound fits int16
         live = cnt > 0
         keys = ((hi[live].astype(np.uint64) << np.uint64(32))
                 | lo[live].astype(np.uint64)).astype(np.int64)
