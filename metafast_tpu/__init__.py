@@ -19,6 +19,19 @@ __version__ = "0.1.0"
 # family of power-of-two shape signatures; caching them makes every process
 # after the first start hot (a single large-sort compile can cost minutes
 # on TPU).  Respect an explicit user setting.
+# The kernel environment pins JAX_PLATFORMS=axon (TPU plugin only);
+# extend it so the local CPU backend coexists — small graph/table work is
+# routed there (utils/device.py) while streaming k-mer work stays on TPU.
+if _os.environ.get("JAX_PLATFORMS") == "axon":
+    try:
+        import jax as _jax
+
+        # respect an explicit in-process override (e.g. tests force cpu)
+        if _jax.config.jax_platforms in (None, "axon"):
+            _jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:  # pragma: no cover
+        pass
+
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     try:
         import jax as _jax

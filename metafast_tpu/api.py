@@ -33,9 +33,14 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
 
     Returns (keys int64 sorted, counts int32, stats dict).
     """
+    from .utils.device import small_scope
+
     counter = KmerCounter(k, capacity=1 << 16)
     n_reads = 0
     n_skipped = 0
+    parsed_files = []        # (path, codes, lengths) from the native parser
+    py_files = []
+    total_bases = 0
     for path in files:
         parsed = None
         try:
@@ -43,35 +48,43 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
             parsed = native_reads.parse_file(path)
         except Exception:
             parsed = None
-        if parsed is not None:
-            # native C++ parse -> padded batches
-            codes, lengths, skipped = parsed
-            total = len(lengths) + skipped
-            if min_len > 0 and len(lengths):
-                keep = lengths >= min_len
-                skipped += int((~keep).sum())
-                sel = np.repeat(keep, lengths)
-                codes, lengths = codes[sel], lengths[keep]
-            n_reads += total
-            n_skipped += skipped
+        if parsed is None:
+            py_files.append(path)
+            continue
+        codes, lengths, skipped = parsed
+        total = len(lengths) + skipped
+        if min_len > 0 and len(lengths):
+            keep = lengths >= min_len
+            skipped += int((~keep).sum())
+            sel = np.repeat(keep, lengths)
+            codes, lengths = codes[sel], lengths[keep]
+        n_reads += total
+        n_skipped += skipped
+        total_bases += int(lengths.sum())
+        parsed_files.append((path, codes, lengths))
+
+    # small inputs run on the host CPU backend: TPU dispatch latency
+    # dominates below ~4M k-mers (utils/device.py)
+    with small_scope(total_bases if not py_files else 1 << 62):
+        for path, codes, lengths in parsed_files:
             from .io.native_reads import to_packed_batches
             for packed, blens, L in to_packed_batches(codes, lengths,
                                                       batch_reads):
                 counter.add_packed_batch(packed, blens, L)
                 if progress is not None:
                     progress(path, None)
-            continue
-        last = None
-        for batch in readsio.read_batches(path, batch_reads=batch_reads,
-                                          min_len=min_len):
-            counter.add_batch(batch.codes, batch.lengths)
-            last = batch
-            if progress is not None:
-                progress(path, batch)
-        if last is not None:
-            n_reads += last.n_total
-            n_skipped += last.n_skipped
-    keys, counts = counter.finish()
+        for path in py_files:
+            last = None
+            for batch in readsio.read_batches(path, batch_reads=batch_reads,
+                                              min_len=min_len):
+                counter.add_batch(batch.codes, batch.lengths)
+                last = batch
+                if progress is not None:
+                    progress(path, batch)
+            if last is not None:
+                n_reads += last.n_total
+                n_skipped += last.n_skipped
+        keys, counts = counter.finish()
     stats = dict(reads=n_reads, skipped=n_skipped,
                  kmers_seen=counter.total_kmers_seen, unique=len(keys))
     return keys, counts, stats

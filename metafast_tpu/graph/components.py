@@ -76,17 +76,32 @@ def _label_round(labels, nbr, active):
     return labels
 
 
+@jax.jit
+def _connected_labels_device(nbr, active):
+    """Fixed-point min-label propagation, fully on device.
+
+    The convergence check runs inside lax.while_loop: a host round-trip
+    per round costs ~100ms+ on a tunneled TPU, and path-graph components
+    need many rounds."""
+    M = nbr.shape[0]
+    labels0 = jnp.where(active, jnp.arange(M, dtype=I32), M)
+
+    def cond(state):
+        prev, cur = state
+        return jnp.any(prev != cur)
+
+    def body(state):
+        _, cur = state
+        return cur, _label_round(cur, nbr, active)
+
+    _, labels = jax.lax.while_loop(
+        cond, body, (labels0, _label_round(labels0, nbr, active)))
+    return labels
+
+
 def connected_labels(nbr: jnp.ndarray, active: jnp.ndarray) -> np.ndarray:
     """Min-label per vertex over the active subgraph; inactive rows get M."""
-    M = nbr.shape[0]
-    labels = jnp.where(active, jnp.arange(M, dtype=I32), M)
-    prev = None
-    while True:
-        labels = _label_round(labels, nbr, active)
-        cur = np.asarray(labels)
-        if prev is not None and np.array_equal(cur, prev):
-            return cur
-        prev = cur
+    return np.asarray(_connected_labels_device(nbr, jnp.asarray(active)))
 
 
 def split_components(keys64: np.ndarray, counts: np.ndarray, k: int,
@@ -95,6 +110,13 @@ def split_components(keys64: np.ndarray, counts: np.ndarray, k: int,
     M0 = len(keys64)
     if M0 == 0:
         return []
+    from ..utils.device import small_scope
+    with small_scope(M0 * 16):
+        return _split_components_impl(keys64, counts, k, b1, b2)
+
+
+def _split_components_impl(keys64, counts, k, b1, b2):
+    M0 = len(keys64)
     M = 1 << max(4, int(np.ceil(np.log2(M0))))
     khi = np.full(M, bp.SENTINEL, dtype=np.uint32)
     klo = np.full(M, bp.SENTINEL, dtype=np.uint32)

@@ -152,7 +152,10 @@ def build_contigs(keys64: np.ndarray, counts: np.ndarray, k: int,
     khi[:M0] = (u >> np.uint64(32)).astype(np.uint32)
     klo[:M0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
-    st = jax.device_get(chain_structure(jnp.asarray(khi), jnp.asarray(klo), k))
+    from ..utils.device import small_scope
+    with small_scope(M * 16):
+        st = jax.device_get(
+            chain_structure(jnp.asarray(khi), jnp.asarray(klo), k))
     term = np.asarray(st["term"])
     dist = np.asarray(st["dist"])
     reached = np.asarray(st["reached"])

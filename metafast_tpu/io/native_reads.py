@@ -73,7 +73,7 @@ def to_batches(codes: np.ndarray, lengths: np.ndarray, batch_reads: int,
         ls = np.zeros(rows, dtype=np.int32)
         ls[: e - s] = lengths[s:e]
         maxlen = int(ls.max()) if e > s else 0
-        L = max(pad_to, -(-maxlen // pad_to) * pad_to)
+        L = _bucket_len(maxlen, pad_to)
         out = np.zeros((rows, L), dtype=np.uint8)
         mask = np.arange(L)[None, :] < ls[:, None]
         out[mask] = codes[offsets[s]:offsets[e]]
@@ -87,6 +87,18 @@ def _bucket_rows(n: int) -> int:
     if n <= 3 * (r // 4):
         return 3 * (r // 4)
     return r
+
+
+def _bucket_len(maxlen: int, pad_to: int = 128) -> int:
+    """Pad row length into the {2^k, 3*2^(k-1)} bucket family (>= pad_to):
+    variable-length inputs (contigs) would otherwise mint a fresh kernel
+    signature — and a minutes-long TPU compile — per 128-multiple."""
+    L = pad_to
+    while L < maxlen:
+        L *= 2
+    if maxlen <= 3 * (L // 4) and 3 * (L // 4) >= pad_to:
+        return 3 * (L // 4)
+    return L
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
@@ -117,7 +129,7 @@ def to_packed_batches(codes: np.ndarray, lengths: np.ndarray,
         ls = np.zeros(rows, dtype=np.int32)
         ls[: e - s] = lengths[s:e]
         maxlen = int(lengths[s:e].max()) if e > s else 0
-        L = max(pad_to, -(-maxlen // pad_to) * pad_to)
+        L = _bucket_len(maxlen, pad_to)
         out = np.empty((rows, L // 4), dtype=np.uint8)
         off = np.ascontiguousarray(offsets[s:e + 1] - offsets[s])
         lib.pack_batch(

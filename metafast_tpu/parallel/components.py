@@ -74,10 +74,24 @@ def sharded_connected_labels(nbr: np.ndarray, active: np.ndarray,
     labels = jnp.where(jnp.asarray(active), jnp.arange(M, dtype=I32), M)
     nbr = jnp.asarray(nbr, dtype=I32)
     active = jnp.asarray(active)
-    prev = None
-    while True:
-        labels = _sharded_round(labels, nbr, active, mesh=mesh)
-        cur = np.asarray(labels)
-        if prev is not None and np.array_equal(cur, prev):
-            return cur
-        prev = cur
+    return np.asarray(
+        _sharded_fixed_point(labels, nbr, active, mesh=mesh))
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_fixed_point(labels0, nbr, active, *, mesh: Mesh):
+    # fixed point fully on device: per-round host convergence checks cost
+    # a ~100ms+ round-trip each on a tunneled TPU (graph.components has
+    # the single-device analog)
+    def cond(state):
+        prev, cur = state
+        return jnp.any(prev != cur)
+
+    def body(state):
+        _, cur = state
+        return cur, _sharded_round(cur, nbr, active, mesh=mesh)
+
+    _, labels = jax.lax.while_loop(
+        cond, body, (labels0, _sharded_round(labels0, nbr, active,
+                                             mesh=mesh)))
+    return labels

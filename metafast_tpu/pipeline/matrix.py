@@ -62,21 +62,23 @@ def count_contig_kmers(contig_seqs: list[str], k: int, min_len: int = 0,
     Parity: IOUtils.loadReads over contig FASTA with minLen filter
     (src/tools/ComponentCutterMain.java:84).
     """
+    from ..io import native_reads
+    from ..utils.device import small_scope
+
     counter = KmerCounter(k, capacity=1 << 16)
     kept = [s for s in contig_seqs if len(s) >= min_len]
-    for i in range(0, len(kept), batch):
-        chunk = kept[i:i + batch]
-        if not chunk:
-            continue
-        maxlen = max(len(s) for s in chunk)
-        arr = np.zeros((len(chunk), maxlen), dtype=np.uint8)
-        lens = np.empty(len(chunk), dtype=np.int32)
-        for j, s in enumerate(chunk):
-            codes = _LUT[np.frombuffer(s.encode(), dtype=np.uint8)]
-            arr[j, : len(codes)] = codes
-            lens[j] = len(codes)
-        counter.add_batch(arr, lens)
-    return counter.finish()
+    if not kept:
+        return counter.finish()
+    lengths = np.array([len(s) for s in kept], dtype=np.int32)
+    codes = _LUT[np.frombuffer("".join(kept).encode(), dtype=np.uint8)]
+    # bucketed batches (bounded kernel-signature set) + CPU routing for
+    # small graphs — a raw (rows, maxlen) batch shape would mint a fresh
+    # TPU compile per contig-length profile
+    with small_scope(len(codes)):
+        for packed, lens, L in native_reads.to_packed_batches(
+                codes, lengths, batch):
+            counter.add_packed_batch(packed, lens, L)
+        return counter.finish()
 
 
 def feature_vectors(components, keys: np.ndarray, counts: np.ndarray,

@@ -1,0 +1,43 @@
+"""Size-aware device routing: small work runs on the host CPU backend.
+
+On a tunneled single-chip TPU every dispatch, executable load, and host
+round-trip costs 10-1000ms, which dwarfs the compute of small arrays.
+The TPU-idiomatic split: keep the big streaming k-mer work on the TPU,
+run small graph/table work on the local CPU backend (always compiled
+locally, microsecond dispatch).  On real multi-chip deployments the
+threshold only reroutes work that is latency-bound anyway.
+
+metafast_tpu/__init__ extends JAX_PLATFORMS=axon to "axon,cpu" so the
+CPU backend exists alongside the TPU plugin.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+
+# below this many elements the work is dispatch-latency-bound on TPU
+SMALL_ELEMENTS = 1 << 22
+
+
+def cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
+def small_scope(n_elements: int):
+    """Context manager: route jit dispatches to CPU when the problem is
+    small and the default backend is not already CPU."""
+    if n_elements < SMALL_ELEMENTS:
+        try:
+            default = jax.devices()[0].platform
+        except Exception:
+            return contextlib.nullcontext()
+        if default != "cpu":
+            d = cpu_device()
+            if d is not None:
+                return jax.default_device(d)
+    return contextlib.nullcontext()
