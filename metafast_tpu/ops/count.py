@@ -224,7 +224,7 @@ def _bucket_size(n: int) -> int:
     """Smallest s >= n with s in {2^k, 3*2^(k-1)}: <= 33% padding at twice
     the shape-signature count of pure powers of two."""
     p = _pow2(n)
-    if n <= 3 * (p // 4):
+    if n <= 3 * (p // 4) and 3 * (p // 4) >= 16:
         return 3 * (p // 4)
     return p
 

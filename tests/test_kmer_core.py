@@ -110,3 +110,58 @@ def test_count_flat_saturates():
     uhi, ulo, cnt = count_flat(hi, lo)
     assert int(cnt[0]) == 32767
     assert int(jnp.sum(cnt > 0)) == 1
+
+
+@pytest.mark.parametrize("chunk", [64, 256])
+def test_counting_multi_chunk_merge(chunk):
+    """Small chunk forces the consolidate + merge_counted (weighted RLE)
+    path that production only hits past 2^27 raw keys."""
+    k = 15
+    rng = np.random.default_rng(7)
+    reads = ["".join(rng.choice(list("AGCT"), size=rng.integers(k, 40)))
+             for _ in range(120)]
+    want = oracle.count_reads(reads, k)
+
+    counter = KmerCounter(k, chunk=chunk)
+    for s in reads:
+        enc = oracle.encode_seq(s)
+        counter.add_batch(enc[None, :], np.array([len(enc)], np.int32))
+    keys, counts = counter.finish()
+    assert dict(zip(keys.tolist(), counts.tolist())) == want
+    assert np.all(np.diff(keys) > 0)
+    assert counter.total_kmers_seen == sum(
+        max(len(s) - k + 1, 0) for s in reads)
+
+
+def test_counting_merge_saturates_across_chunks():
+    """Saturating add across chunk merges (itmo NumUtils.java:21-26)."""
+    k = 5
+    seq = "ACGTA"
+    counter = KmerCounter(k, chunk=32)
+    enc = oracle.encode_seq(seq)
+    batch = np.repeat(enc[None, :], 64, axis=0)
+    lens = np.full(64, len(enc), np.int32)
+    for _ in range(600):          # 38400 occurrences of one k-mer
+        counter.add_batch(batch, lens)
+    keys, counts = counter.finish()
+    assert len(keys) == 1
+    assert int(counts[0]) == 32767
+
+
+def test_cumsum_flat_matches_numpy():
+    from metafast_tpu.ops.count import _cumsum_flat
+    rng = np.random.default_rng(11)
+    for n in (5, 1000, 8192, 8193, 1 << 14, (1 << 14) + 777):
+        x = rng.integers(0, 100, n).astype(np.int32)
+        got = np.asarray(_cumsum_flat(jnp.asarray(x)))
+        assert np.array_equal(got, np.cumsum(x)), n
+
+
+def test_bucket_size_family():
+    from metafast_tpu.ops.count import _bucket_size
+    assert _bucket_size(1) == 16
+    assert _bucket_size(16) == 16
+    assert _bucket_size(17) == 24
+    assert _bucket_size(25) == 32
+    assert _bucket_size(3 << 20) == 3 << 20
+    assert _bucket_size((3 << 20) + 1) == 1 << 22
