@@ -55,12 +55,13 @@ int64_t parse_fasta(const uint8_t* text, int64_t n,
     int64_t i = 0;
     int64_t read_start_in = 0;  // input offset where current record started
     int64_t read_start_out = 0;
-    bool in_read = false, bad = false;
+    bool in_read = false;
+    uint8_t badacc = 0;  // valid codes only touch bits 0-1; 255 poisons the rest
 
     auto finish_read = [&]() {
         if (!in_read) return true;
         int64_t len = out - read_start_out;
-        if (bad || len == 0) {
+        if ((badacc & 0xFCu) || len == 0) {
             out = read_start_out;
             skipped++;
         } else {
@@ -69,34 +70,45 @@ int64_t parse_fasta(const uint8_t* text, int64_t n,
             read_start_out = out;
         }
         in_read = false;
-        bad = false;
+        badacc = 0;
         return true;
     };
 
+    // Line-wise scan: memchr finds newlines at SIMD speed, and the
+    // per-base translate loop below is branchless (the invalid-char test
+    // accumulates into badacc instead of branching per byte).
     while (i < n) {
-        uint8_t c = text[i];
-        if (c == '>' || c == ';') {
+        const uint8_t* nl = (const uint8_t*)memchr(text + i, '\n', (size_t)(n - i));
+        int64_t eol = nl ? (int64_t)(nl - text) : n;
+        int64_t line_end = eol;
+        if (line_end > i && text[line_end - 1] == '\r') line_end--;
+        uint8_t c0 = text[i];
+        if (c0 == '>' || c0 == ';') {
             if (!finish_read()) { *n_skipped = skipped; *consumed = read_start_in; return reads; }
             read_start_in = i;
-            // skip header line
-            while (i < n && text[i] != '\n') i++;
-            i++;
             in_read = true;
-            bad = false;
+            badacc = 0;
             read_start_out = out;
-            continue;
+        } else if (in_read && line_end > i) {
+            int64_t len = line_end - i;
+            if (out + len > codes_cap) {
+                // roll back the partial read; caller resumes at its header
+                out = read_start_out;
+                *n_skipped = skipped;
+                *consumed = read_start_in;
+                return reads;
+            }
+            const uint8_t* src = text + i;
+            uint8_t acc = 0;
+            for (int64_t p = 0; p < len; p++) {
+                uint8_t v = LUT.m[src[p]];
+                acc |= v;
+                codes[out + p] = (uint8_t)(v & 3u);
+            }
+            badacc |= acc;
+            out += len;
         }
-        if (c == '\n' || c == '\r') { i++; continue; }
-        if (!in_read) { i++; continue; }  // leading garbage
-        uint8_t v = LUT.m[c];
-        if (v == 255) {
-            bad = true;
-            i++;
-            continue;
-        }
-        if (out >= codes_cap) { *n_skipped = skipped; *consumed = read_start_in; return reads; }
-        codes[out++] = v;
-        i++;
+        i = eol + 1;
     }
     finish_read();
     *n_skipped = skipped;
@@ -148,17 +160,21 @@ int64_t parse_fastq(const uint8_t* text, int64_t n, int32_t phred_offset,
             *consumed = rec_start;
             return reads;
         }
-        bool bad = false;
-        for (int64_t p = 0; p < len; p++) {
-            uint8_t v = LUT.m[text[seq_start + p]];
-            uint8_t q = text[q_start + p];
-            // '.' and 'N' carry phred 0 by convention; any phred-0 base
-            // drops the read (itmo FastaReaderFromXQSource.java:63-77)
-            if (v == 255 || (int32_t)q <= phred_offset) {
-                bad = true;
-                break;
+        bool bad = (q_end - q_start) < len;  // malformed: quality too short
+        if (!bad) {
+            // branchless: invalid chars poison badacc's high bits; any
+            // phred-0 base drops the read ('.'/'N' carry phred 0 by
+            // convention, itmo FastaReaderFromXQSource.java:63-77)
+            const uint8_t* sp = text + seq_start;
+            const uint8_t* qp = text + q_start;
+            uint8_t badacc = 0, qbad = 0;
+            for (int64_t p = 0; p < len; p++) {
+                uint8_t v = LUT.m[sp[p]];
+                badacc |= v;
+                qbad |= (uint8_t)((int32_t)qp[p] <= phred_offset);
+                codes[out + p] = (uint8_t)(v & 3u);
             }
-            codes[out + p] = v;
+            bad = (badacc & 0xFCu) || qbad;
         }
         if (bad) {
             skipped++;
