@@ -214,148 +214,139 @@ def _rle_compact(hi, lo, weights):
 
 
 # ---------------------------------------------------------------------------
-# Host-orchestrated RLE: row-sorted compaction (large arrays)
+# Host-orchestrated RLE: hierarchical sparse compaction (large raw chunks)
 # ---------------------------------------------------------------------------
 #
 # _rle_compact's compaction is a second FULL-length sort — at 2^27 keys it
 # costs more than the primary key sort (measured 881ms vs 675ms on v5e).
-# But run starts are typically a small fraction of the input, and they are
-# already in ascending key order.  The hosted path exploits that:
+# But on raw counting chunks the run starts are a small fraction of the
+# input (high-coverage duplication), and they are already in ascending key
+# order, so compaction only has to squeeze out sentinels:
 #
-#   1. row-sort [n/1024, 1024] tiles (log2(1024)~1/7th the bitonic passes
-#      of a global sort) — compacts each row's run starts to its front;
-#   2. one scalar sync for the unique count U;
-#   3. gather the U run starts into a pow2(U)-sized table via searchsorted
-#      over the per-row prefix offsets (the offsets table fits VMEM).
+#   1. mark run STARTS and run ENDS (two masked (key, key, idx) triples —
+#      counts come out as end_idx - start_idx + 1, no prefix sums and no
+#      big gathers, which measure far slower than sorts on TPU);
+#   2. row-sort [n/1024, 1024] tiles (~1/7th the bitonic passes of a
+#      global sort) — each row's live entries move to its front;
+#   3. sync the max per-row occupancy, slice every row to pow2(maxL)
+#      columns (usually ~8x narrower), repeat while it keeps shrinking;
+#   4. one small global sort compacts the rest, then counts are pure
+#      elementwise arithmetic on the aligned start/end tables.
 #
-# The output is exactly the _trim()-ed table the binary counter stores, so
-# the extra sync replaces the one _trim would have done — net syncs equal,
-# ~3.5x less sort work.  Not usable under shard_map (host sync): the pure
-# count_flat/merge_counted above remain for traced contexts.
+# The output is exactly the _trim()-ed table the binary counter stores.
+# Not usable under shard_map (host syncs): the pure count_flat /
+# merge_counted above remain for traced contexts.  Dense inputs (merges
+# of counted tables, low-coverage samples) fall back to the single
+# compaction sort, which is optimal when most entries are live.
 
 _ROWC = 1024
 _HOSTED_MIN = 1 << 20
+_GLOBAL_MAX = 1 << 22
 
 
-def _run_starts(hi, lo):
-    """(is_new & ~sent) run-start mask of a sorted key array."""
+@jax.jit
+def _mask_runs_ones(hi, lo):
+    """Masked run-start and run-end triples of a SORTED key array.
+
+    Returns (start triple, end triple, n_unique): triples are (key_hi,
+    key_lo, index), sentinel-masked off-run; start/end entries align by
+    rank (both ascending by key, one per unique)."""
+    n = hi.shape[0]
     sent = bp.is_sentinel(hi, lo)
     prev_hi = jnp.concatenate([jnp.zeros((1,), dtype=U32), hi[:-1]])
     prev_lo = jnp.concatenate([jnp.zeros((1,), dtype=U32), lo[:-1]])
-    is_new = (hi != prev_hi) | (lo != prev_lo)
-    return is_new.at[0].set(True) & ~sent, sent
+    is_new = ((hi != prev_hi) | (lo != prev_lo)).at[0].set(True)
+    start = is_new & ~sent
+    # a run ends where the next key differs; sentinels differ from any
+    # live key, so the sentinel boundary triggers is_new too
+    end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)]) & ~sent
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s = (jnp.where(start, hi, U32(bp.SENTINEL)),
+         jnp.where(start, lo, U32(bp.SENTINEL)),
+         jnp.where(start, idx, n))
+    e = (jnp.where(end, hi, U32(bp.SENTINEL)),
+         jnp.where(end, lo, U32(bp.SENTINEL)),
+         jnp.where(end, idx, n))
+    return s, e, jnp.sum(start).astype(jnp.int32)
 
 
 @jax.jit
-def _rle1_ones(hi, lo):
-    """Phase 1 (unit weights): mark run starts, row-sort them to row fronts.
-
-    hi, lo: SORTED flat [n], n % _ROWC == 0.  Returns row-sorted
-    (s_hi, s_lo, oidx) [R, C], exclusive per-row offsets [R], the unique
-    count, and the live-entry count.
-    """
-    n = hi.shape[0]
-    live, sent = _run_starts(hi, lo)
-    n_ent = jnp.sum(~sent).astype(jnp.int32)
-    s_hi = jnp.where(live, hi, U32(bp.SENTINEL)).reshape(-1, _ROWC)
-    s_lo = jnp.where(live, lo, U32(bp.SENTINEL)).reshape(-1, _ROWC)
-    oidx = jnp.where(live, jnp.arange(n, dtype=jnp.int32),
-                     n).reshape(-1, _ROWC)
-    s_hi, s_lo, oidx = jax.lax.sort((s_hi, s_lo, oidx), dimension=1,
-                                    num_keys=2)
-    row_live = jnp.sum(live.reshape(-1, _ROWC), axis=1).astype(jnp.int32)
-    off = _cumsum_flat(row_live)
-    n_uni = off[-1]
-    return s_hi, s_lo, oidx, off - row_live, n_uni, n_ent
+def _rowsort_level(s1, s2, s3, e1, e2, e3):
+    """Row-sort both masked triples in [n/_ROWC, _ROWC] tiles; live
+    entries move to row fronts.  Returns tiled arrays + max row
+    occupancy (over both triples)."""
+    rs = lambda a: a.reshape(-1, _ROWC)
+    s1, s2, s3 = jax.lax.sort((rs(s1), rs(s2), rs(s3)), dimension=1,
+                              num_keys=2)
+    e1, e2, e3 = jax.lax.sort((rs(e1), rs(e2), rs(e3)), dimension=1,
+                              num_keys=2)
+    live_s = jnp.sum(~bp.is_sentinel(s1, s2), axis=1)
+    live_e = jnp.sum(~bp.is_sentinel(e1, e2), axis=1)
+    maxl = jnp.maximum(jnp.max(live_s), jnp.max(live_e)).astype(jnp.int32)
+    return s1, s2, s3, e1, e2, e3, maxl
 
 
-@partial(jax.jit, static_argnames=("m",))
-def _rle2_ones(s_hi, s_lo, oidx, off_ex, n_uni, n_ent, m: int):
-    """Phase 2 (unit weights): gather the n_uni run starts -> [m] table."""
-    R, C = s_hi.shape
-    n = R * C
-    j = jnp.arange(m, dtype=jnp.int32)
-    r = jnp.clip(jnp.searchsorted(off_ex, j, side="right").astype(jnp.int32)
-                 - 1, 0, R - 1)
-    col = jnp.clip(j - off_ex[r], 0, C - 1)
-    flat = r * C + col
-    valid = j < n_uni
-    uh = jnp.where(valid, s_hi.reshape(-1)[flat], U32(bp.SENTINEL))
-    ul = jnp.where(valid, s_lo.reshape(-1)[flat], U32(bp.SENTINEL))
-    ui = jnp.where(valid, oidx.reshape(-1)[flat], n)
-    nxt = jnp.concatenate([ui[1:], jnp.full((1,), n, jnp.int32)])
-    totals = jnp.minimum(nxt, n_ent) - ui
-    counts = jnp.where(valid, jnp.minimum(totals, SATURATE),
-                       0).astype(jnp.int32)
-    return uh, ul, counts
-
-
-@jax.jit
-def _rle1_weighted(hi, lo, cnt):
-    """Phase 1 (weighted): also carries each run start's prefix-sum base."""
-    n = hi.shape[0]
-    live, sent = _run_starts(hi, lo)
-    w = jnp.where(sent, 0, cnt).astype(jnp.int32)
-    cw = _cumsum_flat(w)
-    s_hi = jnp.where(live, hi, U32(bp.SENTINEL)).reshape(-1, _ROWC)
-    s_lo = jnp.where(live, lo, U32(bp.SENTINEL)).reshape(-1, _ROWC)
-    base = jnp.where(live, cw - w, 0).reshape(-1, _ROWC)
-    oidx = jnp.where(live, jnp.arange(n, dtype=jnp.int32),
-                     n).reshape(-1, _ROWC)
-    s_hi, s_lo, base, oidx = jax.lax.sort((s_hi, s_lo, base, oidx),
-                                          dimension=1, num_keys=2)
-    row_live = jnp.sum(live.reshape(-1, _ROWC), axis=1).astype(jnp.int32)
-    off = _cumsum_flat(row_live)
-    n_uni = off[-1]
-    return s_hi, s_lo, base, oidx, cw, off - row_live, n_uni
+def _compact_levels(s, e):
+    """Shrink the masked triples while row-sorting keeps helping."""
+    size = s[0].shape[0]
+    while size > _GLOBAL_MAX and size % _ROWC == 0:
+        s1, s2, s3, e1, e2, e3, maxl_dev = _rowsort_level(*s, *e)
+        m_cols = _pow2(int(maxl_dev))
+        if m_cols >= _ROWC:          # dense rows: no further reduction
+            flat = lambda a: a.reshape(size)
+            return (flat(s1), flat(s2), flat(s3)), (flat(e1), flat(e2),
+                                                    flat(e3))
+        take = lambda a: a[:, :m_cols].reshape(-1)
+        s = (take(s1), take(s2), take(s3))
+        e = (take(e1), take(e2), take(e3))
+        size = s[0].shape[0]
+    return s, e
 
 
 @partial(jax.jit, static_argnames=("m",))
-def _rle2_weighted(s_hi, s_lo, base, oidx, cw, off_ex, n_uni, m: int):
-    """Phase 2 (weighted): totals = cw[run end] - run start's base."""
-    R, C = s_hi.shape
-    n = R * C
-    j = jnp.arange(m, dtype=jnp.int32)
-    r = jnp.clip(jnp.searchsorted(off_ex, j, side="right").astype(jnp.int32)
-                 - 1, 0, R - 1)
-    col = jnp.clip(j - off_ex[r], 0, C - 1)
-    flat = r * C + col
-    valid = j < n_uni
-    uh = jnp.where(valid, s_hi.reshape(-1)[flat], U32(bp.SENTINEL))
-    ul = jnp.where(valid, s_lo.reshape(-1)[flat], U32(bp.SENTINEL))
-    ub = jnp.where(valid, base.reshape(-1)[flat], 0)
-    ui = jnp.where(valid, oidx.reshape(-1)[flat], n)
-    nxt = jnp.concatenate([ui[1:], jnp.full((1,), n, jnp.int32)])
-    run_end = cw[jnp.clip(nxt - 1, 0, n - 1)]
-    totals = run_end - ub
-    counts = jnp.where(valid, jnp.minimum(totals, SATURATE),
+def _finish_ones(s1, s2, si, e1, e2, ei, n_uni, m: int):
+    """Global compaction sorts + elementwise counts (run length)."""
+    s1, s2, si = jax.lax.sort((s1, s2, si), num_keys=2)
+    e1, e2, ei = jax.lax.sort((e1, e2, ei), num_keys=2)
+    valid = jnp.arange(m, dtype=jnp.int32) < n_uni
+    cut = lambda a: jax.lax.slice_in_dim(a, 0, m)
+    uh = jnp.where(valid, cut(s1), U32(bp.SENTINEL))
+    ul = jnp.where(valid, cut(s2), U32(bp.SENTINEL))
+    runlen = cut(ei) - cut(si) + 1
+    counts = jnp.where(valid, jnp.minimum(runlen, SATURATE),
                        0).astype(jnp.int32)
     return uh, ul, counts
 
 
 def count_flat_hosted(hi, lo):
-    """count_flat + trim-to-pow2(uniques), host-orchestrated (one sync)."""
+    """count_flat + trim-to-pow2(uniques), host-orchestrated."""
     n = hi.shape[0]
     hi, lo = _sort_pair(hi, lo)
     if n < _HOSTED_MIN or n % _ROWC:
         return _trim_table(_rle_compact_ones(hi, lo))
-    s_hi, s_lo, oidx, off_ex, n_uni, n_ent = _rle1_ones(hi, lo)
-    m = _pow2(max(int(n_uni), 1))
-    return _rle2_ones(s_hi, s_lo, oidx, off_ex, n_uni, n_ent, m)
+    s, e, n_uni_dev = _mask_runs_ones(hi, lo)
+    n_uni = int(n_uni_dev)
+    if n_uni * 8 >= n:
+        # dense: a single compaction sort beats the hierarchy
+        return _trim_table(_rle_compact_ones(hi, lo))
+    s, e = _compact_levels(s, e)
+    m = _pow2(max(n_uni, 1))
+    if m > s[0].shape[0]:
+        padk = lambda a: jnp.concatenate(
+            [a, jnp.full((m - a.shape[0],), bp.SENTINEL, a.dtype)])
+        padi = lambda a: jnp.concatenate(
+            [a, jnp.zeros((m - a.shape[0],), a.dtype)])
+        s = (padk(s[0]), padk(s[1]), padi(s[2]))
+        e = (padk(e[0]), padk(e[1]), padi(e[2]))
+    return _finish_ones(*s, *e, n_uni_dev, m)
 
 
 def merge_counted_hosted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
-    """merge_counted + trim-to-pow2(uniques), host-orchestrated."""
-    hi = jnp.concatenate([hi_a, hi_b])
-    lo = jnp.concatenate([lo_a, lo_b])
-    cnt = jnp.concatenate([cnt_a, cnt_b]).astype(jnp.int32)
-    n = hi.shape[0]
-    hi, lo, cnt = _sort_triple(hi, lo, cnt)
-    if n < _HOSTED_MIN or n % _ROWC:
-        return _trim_table(_rle_compact_weighted(hi, lo, cnt))
-    s_hi, s_lo, base, oidx, cw, off_ex, n_uni = _rle1_weighted(hi, lo, cnt)
-    m = _pow2(max(int(n_uni), 1))
-    return _rle2_weighted(s_hi, s_lo, base, oidx, cw, off_ex, n_uni, m)
+    """merge_counted + trim-to-pow2(uniques).
+
+    Merge inputs are counted tables (mostly live), so the dense single
+    compaction sort is the right algorithm; hosted only for the trim."""
+    return _trim_table(merge_counted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b))
 
 
 def _trim_table(table):
@@ -408,33 +399,18 @@ def _empty(n=16):
             jnp.zeros((n,), dtype=jnp.int32))
 
 
-def _parallel_fetch(arrays, piece: int = 1 << 21, threads: int = 8):
-    """Device->host fetch of 1-D arrays over parallel streams.
+def _parallel_fetch(arrays):
+    """Device->host fetch: one stream per whole array.
 
-    A tunneled/remote device link often caps per-stream throughput well
-    below its aggregate (measured ~36 MB/s single- vs ~54 MB/s multi-
-    stream on the axon tunnel); slicing each array into `piece`-element
-    chunks and fetching concurrently recovers the aggregate rate.
+    Finer-grained slicing is a pessimization on a tunneled device link —
+    each extra dispatch pays a large fixed cost (measured: whole-array
+    streams ~43 MB/s, 4 MB slices 13-29 MB/s on the axon tunnel) — so
+    parallelism is capped at one stream per array.
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    jobs = []                       # (array index, start, device slice)
-    for ai, a in enumerate(arrays):
-        n = a.shape[0]
-        if n <= piece:
-            jobs.append((ai, 0, a))
-            continue
-        for s in range(0, n, piece):
-            e = min(s + piece, n)
-            jobs.append((ai, s, jax.lax.slice_in_dim(a, s, e)))
-    outs = [np.empty(a.shape, a.dtype) for a in arrays]
-    def fetch(job):
-        ai, s, dev = job
-        part = np.asarray(dev)
-        outs[ai][s:s + part.shape[0]] = part
-    with ThreadPoolExecutor(threads) as ex:
-        list(ex.map(fetch, jobs))
-    return outs
+    with ThreadPoolExecutor(len(arrays)) as ex:
+        return list(ex.map(np.asarray, arrays))
 
 
 # ---------------------------------------------------------------------------

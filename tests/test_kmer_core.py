@@ -165,3 +165,63 @@ def test_bucket_size_family():
     assert _bucket_size(25) == 32
     assert _bucket_size(3 << 20) == 3 << 20
     assert _bucket_size((3 << 20) + 1) == 1 << 22
+
+
+def _hosted_oracle_check(keys64: np.ndarray):
+    """Run count_flat_hosted on raw int64 keys, compare to numpy."""
+    from metafast_tpu.ops.count import count_flat_hosted
+    u = keys64.astype(np.uint64)
+    hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((u & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    uh, ul, cnt = count_flat_hosted(hi, lo)
+    uh, ul, cnt = map(np.asarray, (uh, ul, cnt))
+    live = cnt > 0
+    got_keys = ((uh[live].astype(np.uint64) << np.uint64(32))
+                | ul[live].astype(np.uint64)).astype(np.int64)
+    want_keys, want_counts = np.unique(keys64, return_counts=True)
+    assert np.array_equal(np.sort(got_keys), want_keys)
+    got = dict(zip(got_keys.tolist(), cnt[live].tolist()))
+    want = dict(zip(want_keys.tolist(),
+                    np.minimum(want_counts, 32767).tolist()))
+    assert got == want
+    # table is trimmed to pow2(uniques)
+    assert uh.shape[0] == max(16, 1 << int(np.ceil(np.log2(len(want_keys)))))
+
+
+def test_hosted_large_sparse_path():
+    """n >= _HOSTED_MIN with ~3% uniques drives the hierarchical
+    row-sort compaction (mask -> levels -> finish)."""
+    rng = np.random.default_rng(3)
+    uniques = rng.integers(0, 1 << 60, 30000, dtype=np.int64)
+    keys = rng.choice(uniques, size=1 << 20)
+    _hosted_oracle_check(keys)
+
+
+def test_hosted_large_dense_bail():
+    """All-distinct keys trip the n_uni*8 >= n bail to the single
+    compaction sort; results must be identical."""
+    rng = np.random.default_rng(4)
+    keys = rng.permutation((1 << 20) + np.arange(1 << 20, dtype=np.int64))
+    _hosted_oracle_check(keys)
+
+
+def test_hosted_pad_branch():
+    """n = 3*2^18 with just under n/8 evenly spread uniques: compacted
+    size (3*2^15) lands below pow2(uniques) (2^17), forcing the pad
+    branch (and staying under the dense bail)."""
+    n = 3 << 18
+    u = n // 8 - 1
+    uniques = (np.arange(u, dtype=np.int64) * 977 + 13) * (1 << 34)
+    keys = np.concatenate([np.repeat(uniques, 8),
+                           np.full(8, uniques[0], dtype=np.int64)])
+    assert len(keys) == n
+    _hosted_oracle_check(keys)
+
+
+def test_hosted_saturation_large():
+    """A 40000-deep run inside a large chunk saturates at 32767."""
+    rng = np.random.default_rng(5)
+    n = 1 << 20
+    fill = rng.integers(0, 1 << 40, n - 40000, dtype=np.int64)
+    keys = np.concatenate([fill, np.full(40000, 1 << 50, dtype=np.int64)])
+    _hosted_oracle_check(keys)
