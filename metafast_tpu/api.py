@@ -66,11 +66,21 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
     # small inputs run on the host CPU backend: TPU dispatch latency
     # dominates below ~4M k-mers (utils/device.py)
     with small_scope(total_bases if not py_files else 1 << 62):
+        # ~32M codes per device slab: bounds the [16, 256, C] key planes
+        # the stream kernel emits to ~256 MB while amortizing dispatch
+        slab_codes = 1 << 25
         for path, codes, lengths in parsed_files:
-            from .io.native_reads import to_packed_batches
-            for packed, blens, L in to_packed_batches(codes, lengths,
-                                                      batch_reads):
-                counter.add_packed_batch(packed, blens, L)
+            offs = np.concatenate(
+                [[0], np.cumsum(lengths.astype(np.int64))])
+            r0 = 0
+            while r0 < len(lengths):
+                # largest r1 with offs[r1] - offs[r0] <= slab_codes
+                r1 = int(np.searchsorted(offs, offs[r0] + slab_codes,
+                                         side="right")) - 1
+                r1 = min(max(r1, r0 + 1), len(lengths))
+                counter.add_stream(codes[offs[r0]:offs[r1]],
+                                   lengths[r0:r1])
+                r0 = r1
                 if progress is not None:
                     progress(path, None)
         for path in py_files:

@@ -54,6 +54,10 @@ def load_library():
                                           i64]
         lib.pack_batch.restype = None
         lib.pack_batch.argtypes = [p8, p64, i64, ctypes.c_int32, p8, i64]
+        pu32 = ctypes.POINTER(ctypes.c_uint32)
+        lib.build_stream_cols.restype = None
+        lib.build_stream_cols.argtypes = [p8, i64, p32, i64, ctypes.c_int32,
+                                          pu32, pu32, i64]
         _lib = lib
         return _lib
 

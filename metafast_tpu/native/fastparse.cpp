@@ -81,7 +81,7 @@ int64_t parse_fasta(const uint8_t* text, int64_t n,
         const uint8_t* nl = (const uint8_t*)memchr(text + i, '\n', (size_t)(n - i));
         int64_t eol = nl ? (int64_t)(nl - text) : n;
         int64_t line_end = eol;
-        if (line_end > i && text[line_end - 1] == '\r') line_end--;
+        while (line_end > i && text[line_end - 1] == '\r') line_end--;
         uint8_t c0 = text[i];
         if (c0 == '>' || c0 == ';') {
             if (!finish_read()) { *n_skipped = skipped; *consumed = read_start_in; return reads; }
@@ -213,6 +213,65 @@ int64_t extract_canonical(const uint8_t* codes, const int32_t* lengths,
         off += len;
     }
     return out;
+}
+
+// Pack flat codes + read lengths into the overlapping word-column layout
+// consumed by the flat-stream extraction kernel (ops/stream_extract.py).
+//
+//   codes    flat 2-bit codes (one byte per base), n_codes bytes
+//   lengths  n_reads int32 read lengths (sum == n_codes)
+//   k        k-mer size
+//   col_w    [n_cols, ROWS=256] u32 row-major: rows 0..253 hold stream
+//            words (16 codes each, code j at bits 2j), rows 254-255
+//            duplicate the next column's first two words
+//   col_v    same layout; low 16 bits of word w flag positions 16w+r
+//            that start a window lying inside a single read (overlap
+//            rows stay 0)
+// The device transposes to [ROWS, n_cols]; callers zero col_v first.
+void build_stream_cols(const uint8_t* codes, int64_t n_codes,
+                       const int32_t* lengths, int64_t n_reads, int32_t k,
+                       uint32_t* col_w, uint32_t* col_v, int64_t n_cols) {
+    const int64_t ROWS = 256, PAYLOAD = 254;
+    const int64_t payload_words = n_cols * PAYLOAD;
+
+    // stream words, written to (col, row) plus the overlap duplicates
+    for (int64_t w = 0; w < payload_words + 2; w++) {
+        int64_t base = 16 * w;
+        uint32_t val = 0;
+        if (base + 16 <= n_codes) {
+            const uint8_t* s = codes + base;
+            for (int j = 0; j < 16; j++) val |= (uint32_t)s[j] << (2 * j);
+        } else if (base < n_codes) {
+            const uint8_t* s = codes + base;
+            for (int64_t j = 0; j < n_codes - base; j++)
+                val |= (uint32_t)s[j] << (2 * j);
+        }
+        if (w < payload_words)
+            col_w[(w / PAYLOAD) * ROWS + (w % PAYLOAD)] = val;
+        if (w % PAYLOAD < 2 && w >= PAYLOAD)
+            col_w[(w / PAYLOAD - 1) * ROWS + PAYLOAD + (w % PAYLOAD)] = val;
+        if (w >= payload_words)    // overlap rows of the final column
+            col_w[(n_cols - 1) * ROWS + PAYLOAD + (w - payload_words)] = val;
+    }
+
+    // validity bitmask: read spanning [off, off+len) marks window starts
+    // [off, off+len-k] (inclusive) when len >= k
+    int64_t off = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        int64_t len = lengths[r];
+        if (len >= k) {
+            int64_t start = off, end = off + len - k;   // inclusive
+            int64_t w0 = start >> 4, w1 = end >> 4;
+            for (int64_t w = w0; w <= w1; w++) {
+                uint32_t m = 0xFFFFu;
+                if (w == w0) m &= (0xFFFFu << (start & 15)) & 0xFFFFu;
+                if (w == w1) m &= 0xFFFFu >> (15 - (end & 15));
+                if (w < payload_words)
+                    col_v[(w / PAYLOAD) * ROWS + (w % PAYLOAD)] |= m;
+            }
+        }
+        off += len;
+    }
 }
 
 // Pack a batch of reads into a row-padded 2-bit matrix in one pass.

@@ -377,6 +377,19 @@ def _bucket_size(n: int) -> int:
     return p
 
 
+def _bucket_size_fine(n: int) -> int:
+    """Smallest s >= n with s = m * 2^(k-3), m in 8..16 (<= 12.5% padding).
+
+    Used for the big consolidation sorts, where a pow2 bucket's padding
+    is sorted at full cost; 8 signatures per octave stays compile-bounded
+    (signatures persist in the compilation cache)."""
+    if n < (1 << 20):
+        return _bucket_size(n)
+    p = _pow2(n)
+    step = p // 8
+    return -(-n // step) * step
+
+
 def _pad_pow2(hi, lo, cnt):
     """Pad a counted table with sentinels up to the next power of two."""
     return _pad_to((hi, lo, cnt), _pow2(hi.shape[0]))
@@ -476,6 +489,22 @@ class KmerCounter:
                                         jnp.asarray(lengths), self.k, L)
         self._pending_insert(bhi, blo)
 
+    def add_stream(self, codes_flat, lengths):
+        """Flat concatenated codes (the native parser's output layout).
+
+        Routes through the flat-stream extraction kernel
+        (ops/stream_extract.py: Pallas on TPU, XLA elsewhere) — no
+        per-read padding, 16 codes per u32 word on the wire.
+        """
+        from .stream_extract import build_stream, stream_extract
+
+        self._add_total_from_lengths(np.asarray(lengths))
+        words, vmask, _n_valid = build_stream(np.asarray(codes_flat),
+                                              np.asarray(lengths), self.k)
+        hi, lo = stream_extract(jnp.asarray(words), jnp.asarray(vmask),
+                                self.k)
+        self._pending_insert(hi.reshape(-1), lo.reshape(-1))
+
     # -- raw (uncounted) key accumulation ----------------------------------
 
     def _pending_insert(self, hi, lo) -> None:
@@ -491,7 +520,7 @@ class KmerCounter:
     def _consolidate_pending(self) -> None:
         if not self._pending:
             return
-        size = _bucket_size(self._pending_n)
+        size = _bucket_size_fine(self._pending_n)
         pad = size - self._pending_n
         his = [p[0] for p in self._pending]
         los = [p[1] for p in self._pending]

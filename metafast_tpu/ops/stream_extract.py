@@ -1,0 +1,268 @@
+"""Flat-stream canonical k-mer extraction (Pallas TPU kernel + XLA fallback).
+
+Replaces the reference's per-read rolling ShortKmer loop (itmo
+ShortKmer.java:104-150 driven from /root/reference/src/io/IOUtils.java:756-769)
+on the TPU hot path.  Instead of padding reads into [B, L] batches, the
+read set is treated as ONE flat 2-bit code stream (the native parser already
+produces concatenated codes):
+
+  * 16 codes pack into each u32 word, little-end (code j at bits 2j);
+  * words lay out in overlapping columns [256, C]: rows 0..253 are payload,
+    rows 254-255 duplicate the next column's first two words so every
+    window's 3-word span stays inside one column (pure sublane rolls, no
+    cross-lane carries, no manual DMA);
+  * a validity bitmask (bit r of vmask word w <=> position 16w+r starts a
+    window that lies inside a single read) carries the read-boundary and
+    padding information -- the kernel never sees ragged shapes.
+
+Per word the kernel evaluates all 16 window phases with static u32 shift/or
+math.  Two identities make this cheap:
+
+  * the FORWARD value (codes MSB-first) is a 62-bit window of the
+    bit-pair-REVERSED stream, so each word is pair-reversed once (8 ops)
+    and every phase is 2 shifts + 1 or per output half;
+  * the REVERSE COMPLEMENT reads the complemented codes in reversed order,
+    which is exactly a window of the complemented LITTLE-endian stream --
+    the packing order itself performs the reversal.
+
+Output k-mers come out phase-major ([16, 256, C] planes); downstream
+counting sorts the flat keys, so position order is irrelevant -- only the
+multiset of valid windows matters, and tests assert it matches
+core.extract.extract_canonical exactly.
+
+The same window math runs as a Pallas kernel on TPU and as plain jitted XLA
+elsewhere (and in pallas interpret mode for parity tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import bitpack as bp
+
+U32 = jnp.uint32
+ROWS = 256          # column height (u32 sublane-aligned)
+PAYLOAD = ROWS - 2  # payload words per column; 2 overlap rows
+LANE_TILE = 128     # lanes per grid step
+
+
+def _rev2(x):
+    """Reverse the 16 2-bit fields of each u32 (codes stay intact)."""
+    m2 = U32(0x33333333)
+    m4 = U32(0x0F0F0F0F)
+    m8 = U32(0x00FF00FF)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & m8) << 8) | ((x >> 8) & m8)
+    return (x << 16) | (x >> 16)
+
+
+def _window_math(w0, w1, w2, vm, k: int):
+    """Canonical (hi, lo) for the 16 phase windows of every word.
+
+    w0: [R, C] u32 stream words; w1/w2: stream shifted by one/two words;
+    vm: validity bitmask words.  Returns (hi, lo) each [16, R, C], with
+    SENTINEL on invalid positions.
+    """
+    r0, r1, r2 = _rev2(w0), _rev2(w1), _rev2(w2)
+    n0, n1, n2 = ~w0, ~w1, ~w2
+    sent = U32(bp.SENTINEL)
+    s_down = 64 - 2 * k         # right-shift aligning the 2k-bit window
+    his, los = [], []
+    for r in range(16):
+        # forward: bits [2r, 2r+64) of the pair-reversed stream
+        if r == 0:
+            a_hi, a_lo = r0, r1
+        else:
+            a_hi = (r0 << U32(2 * r)) | (r1 >> U32(32 - 2 * r))
+            a_lo = (r1 << U32(2 * r)) | (r2 >> U32(32 - 2 * r))
+        # align window value (top 2k bits) to the bottom
+        if s_down == 0:
+            fh, fl = a_hi, a_lo
+        elif s_down < 32:
+            fh = a_hi >> U32(s_down)
+            fl = (a_lo >> U32(s_down)) | (a_hi << U32(32 - s_down))
+        elif s_down == 32:
+            fh = jnp.zeros_like(a_hi)
+            fl = a_hi
+        else:
+            fh = jnp.zeros_like(a_hi)
+            fl = a_hi >> U32(s_down - 32)
+        # reverse complement: bits [2r, 2r+2k) of the complemented
+        # little-endian stream (packing order performs the reversal)
+        if r == 0:
+            c_lo, c_hi = n0, n1
+        else:
+            c_lo = (n0 >> U32(2 * r)) | (n1 << U32(32 - 2 * r))
+            c_hi = (n1 >> U32(2 * r)) | (n2 << U32(32 - 2 * r))
+        if k > 16:
+            rh = c_hi & U32((1 << (2 * k - 32)) - 1)
+            rl = c_lo
+        elif k == 16:
+            rh = jnp.zeros_like(c_lo)
+            rl = c_lo
+        else:
+            rh = jnp.zeros_like(c_lo)
+            rl = c_lo & U32((1 << (2 * k)) - 1)
+        take_rc = (rh < fh) | ((rh == fh) & (rl < fl))
+        h = jnp.where(take_rc, rh, fh)
+        lo = jnp.where(take_rc, rl, fl)
+        valid = ((vm >> U32(r)) & U32(1)) != 0
+        his.append(jnp.where(valid, h, sent))
+        los.append(jnp.where(valid, lo, sent))
+    return jnp.stack(his), jnp.stack(los)
+
+
+def _shift1(x, roll_rows):
+    """Next stream word within each column: rows shift up by one."""
+    return roll_rows(x, 1)
+
+
+def _kernel(k: int):
+    def kern(w_ref, vm_ref, hi_ref, lo_ref):
+        w0 = w_ref[:]
+        vm = vm_ref[:]
+        # roll rows up by s: pltpu.roll needs a non-negative shift
+        roll_rows = lambda a, s: pltpu.roll(a, a.shape[0] - s, 0)
+        w1 = roll_rows(w0, 1)
+        w2 = roll_rows(w0, 2)
+        hi, lo = _window_math(w0, w1, w2, vm, k)
+        hi_ref[:] = hi
+        lo_ref[:] = lo
+    return kern
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def stream_extract_pallas(words_cm, vmask_cm, k: int,
+                          interpret: bool = False):
+    """Pallas path: words/vmask [C, ROWS] u32 -> (hi, lo) [16, ROWS, C]."""
+    words = words_cm.T             # device-side transpose: lanes = columns
+    vmask = vmask_cm.T
+    R, C = words.shape
+    tile = LANE_TILE if C % LANE_TILE == 0 else C
+    assert R == ROWS and C % tile == 0, (R, C)
+    grid = (C // tile,)
+    hi, lo = pl.pallas_call(
+        _kernel(k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((16, R, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, R, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((16, R, C), U32),
+            jax.ShapeDtypeStruct((16, R, C), U32),
+        ),
+        interpret=interpret,
+    )(words, vmask)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("k",))
+def stream_extract_xla(words_cm, vmask_cm, k: int):
+    """Plain-XLA fallback: identical math, identical outputs."""
+    words = words_cm.T
+    vmask = vmask_cm.T
+    w1 = jnp.roll(words, -1, axis=0)
+    w2 = jnp.roll(words, -2, axis=0)
+    return _window_math(words, w1, w2, vmask, k)
+
+
+def stream_extract(words_cm, vmask_cm, k: int):
+    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return stream_extract_pallas(words_cm, vmask_cm, k)
+    return stream_extract_xla(words_cm, vmask_cm, k)
+
+
+# ---------------------------------------------------------------------------
+# Host-side layout
+# ---------------------------------------------------------------------------
+
+def build_stream(codes: np.ndarray, lengths: np.ndarray, k: int,
+                 lane_multiple: int = LANE_TILE):
+    """Pack flat read codes into overlapping word columns + validity mask.
+
+    codes: concatenated uint8 codes of all reads (the native parser's
+    output); lengths: per-read int32.  Returns (col_w, col_v, n_valid):
+    u32 arrays [C, ROWS] (column-major — the device transposes, host
+    transposes cost real time at 100M-base scale) with C a multiple of
+    `lane_multiple`.  Uses the C++ single-pass packer when available;
+    the NumPy fallback below is the executable spec.
+    """
+    n = int(codes.shape[0])
+    n_words = -(-n // 16) if n else 0
+    n_cols = max(1, -(-n_words // PAYLOAD))
+    n_cols = -(-n_cols // lane_multiple) * lane_multiple
+    n_valid = int(np.maximum(
+        lengths.astype(np.int64) - (k - 1), 0).sum()) if len(lengths) else 0
+
+    from ..native import load_library
+    import ctypes
+    lib = load_library()
+    if lib is not None and hasattr(lib, "build_stream_cols"):
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+        col_w = np.empty((n_cols, ROWS), dtype=np.uint32)
+        col_v = np.zeros((n_cols, ROWS), dtype=np.uint32)
+        lib.build_stream_cols(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(lengths), k,
+            col_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            col_v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n_cols)
+        return col_w, col_v, n_valid
+
+    total_words = n_cols * PAYLOAD + 2     # +2: overlap source for last col
+    pad_codes = total_words * 16 - n
+    c = np.concatenate([codes, np.zeros(pad_codes, np.uint8)])
+    words = _pack_words16(c)
+
+    # validity: position p starts a window iff [p, p+k) is inside one read
+    starts = np.zeros(total_words * 16 + 1, dtype=np.int32)
+    offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+    ok = lengths >= k
+    s = offs[:-1][ok]
+    e = (offs[1:][ok] - k + 1)
+    np.add.at(starts, s, 1)
+    np.add.at(starts, e, -1)
+    valid = np.cumsum(starts[:-1]).astype(bool)
+    # 16 positions per stream word -> 2 packed bytes -> one u16, widened
+    vmask = np.packbits(valid, bitorder="little")
+    vmask = np.pad(vmask, (0, total_words * 2 - len(vmask)))
+    vmask = vmask.view(np.uint16).astype(np.uint32)
+
+    col_w = np.zeros((n_cols, ROWS), dtype=np.uint32)
+    col_v = np.zeros((n_cols, ROWS), dtype=np.uint32)
+    col_w[:, :PAYLOAD] = words[: n_cols * PAYLOAD].reshape(n_cols, PAYLOAD)
+    col_v[:, :PAYLOAD] = vmask[: n_cols * PAYLOAD].reshape(n_cols, PAYLOAD)
+    # rows PAYLOAD, PAYLOAD+1 duplicate the next column's first two words
+    # (their vmask stays 0: the duplicate positions are counted by the
+    # next column's rows 0-1, and the final column's tail is padding)
+    starts_idx = np.arange(n_cols, dtype=np.int64) * PAYLOAD + PAYLOAD
+    col_w[:, PAYLOAD] = words[np.minimum(starts_idx, total_words - 1)]
+    col_w[:, PAYLOAD + 1] = words[np.minimum(starts_idx + 1, total_words - 1)]
+    assert n_valid == int(valid.sum())
+    return col_w, col_v, n_valid
+
+
+def _pack_words16(c: np.ndarray) -> np.ndarray:
+    """uint8 codes (len % 16 == 0) -> u32 words, code j at bits 2j."""
+    b = c.reshape(-1, 4).astype(np.uint16)
+    by = (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4)
+          | (b[:, 3] << 6)).astype(np.uint8)
+    return np.ascontiguousarray(by).view(np.uint32)
