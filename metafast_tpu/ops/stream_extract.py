@@ -183,8 +183,19 @@ def stream_extract_xla(words_cm, vmask_cm, k: int):
 
 
 def stream_extract(words_cm, vmask_cm, k: int):
-    """Dispatch: Pallas on TPU, XLA elsewhere."""
-    if jax.default_backend() in ("tpu", "axon"):
+    """Dispatch: Pallas on TPU, XLA elsewhere.
+
+    Routing keys off the CURRENT default device, not the default backend:
+    utils/device.small_scope redirects small work to the host CPU backend
+    under jax.default_device, where only interpret-mode pallas runs.
+    """
+    try:
+        platform = jax.config.jax_default_device.platform \
+            if jax.config.jax_default_device is not None \
+            else jax.devices()[0].platform
+    except Exception:
+        platform = jax.default_backend()
+    if platform in ("tpu", "axon"):
         return stream_extract_pallas(words_cm, vmask_cm, k)
     return stream_extract_xla(words_cm, vmask_cm, k)
 
