@@ -23,6 +23,93 @@ def join_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
             | np.asarray(lo, dtype=np.uint64)).astype(np.int64)
 
 
+# Default device mesh for counting: set by the CLI's --shards flag (or by
+# callers via set_default_mesh); count_reads_files then routes through the
+# streaming ShardedKmerCounter.
+_default_mesh = None
+
+
+def set_default_mesh(mesh) -> None:
+    global _default_mesh
+    _default_mesh = mesh
+
+
+def get_default_mesh():
+    return _default_mesh
+
+
+def count_reads_files_sharded(files: list[str], k: int, mesh,
+                              min_len: int = 0, cap_factor: float = 2.0,
+                              progress=None):
+    """count_reads_files over a device mesh (parallel.ShardedKmerCounter).
+
+    Read streams are data-parallel over the mesh; the k-mer key space is
+    hash-sharded across devices (the TPU-native form of the reference's
+    striped maps, itmo BigLong2ShortHashMap.java:40-70).  Retries with a
+    doubled exchange capacity if a shard bucket overflows.
+    """
+    from .ops.stream_extract import build_stream
+    from .parallel.count import ShardedKmerCounter, ShardOverflowError
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    while True:
+        counter = ShardedKmerCounter(k, mesh, cap_factor=cap_factor)
+        n_reads = 0
+        n_skipped = 0
+        slab_codes = 1 << 27
+        for path in files:
+            from .io import native_reads
+            parsed = native_reads.parse_file(path)
+            if parsed is None:
+                # rare formats fall back to the python reader, flattened
+                cs, ls = [], []
+                last = None
+                for batch in readsio.read_batches(path, min_len=min_len):
+                    for i, ln in enumerate(batch.lengths):
+                        cs.append(batch.codes[i, :ln])
+                    ls.append(batch.lengths)
+                    last = batch
+                codes = (np.concatenate(cs) if cs
+                         else np.zeros(0, np.uint8))
+                lengths = (np.concatenate(ls).astype(np.int32) if ls
+                           else np.zeros(0, np.int32))
+                if last is not None:
+                    n_reads += last.n_total
+                    n_skipped += last.n_skipped
+            else:
+                codes, lengths, skipped = parsed
+                total = len(lengths) + skipped
+                if min_len > 0 and len(lengths):
+                    keep = lengths >= min_len
+                    skipped += int((~keep).sum())
+                    sel = np.repeat(keep, lengths)
+                    codes, lengths = codes[sel], lengths[keep]
+                n_reads += total
+                n_skipped += skipped
+            offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+            lane_mult = n_dev * (128 if offs[-1] >= (1 << 22) else 8)
+            r0 = 0
+            while r0 < len(lengths):
+                r1 = int(np.searchsorted(offs, offs[r0] + slab_codes,
+                                         side="right")) - 1
+                r1 = min(max(r1, r0 + 1), len(lengths))
+                words, vmask, _ = build_stream(
+                    codes[offs[r0]:offs[r1]], lengths[r0:r1], k,
+                    lane_multiple=lane_mult)
+                counter.add_stream(words, vmask, lengths[r0:r1])
+                r0 = r1
+                if progress is not None:
+                    progress(path, None)
+        try:
+            keys, counts = counter.finish()
+        except ShardOverflowError:
+            cap_factor *= 2
+            continue
+        stats = dict(reads=n_reads, skipped=n_skipped,
+                     kmers_seen=counter.total_kmers_seen, unique=len(keys))
+        return keys, counts, stats
+
+
 def count_reads_files(files: list[str], k: int, min_len: int = 0,
                       batch_reads: int = 1 << 19, progress=None):
     """Canonical k-mer counts over read/sequence files (one sample).
@@ -33,6 +120,10 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
 
     Returns (keys int64 sorted, counts int32, stats dict).
     """
+    if _default_mesh is not None and _default_mesh.devices.size > 1:
+        return count_reads_files_sharded(files, k, mesh=_default_mesh,
+                                         min_len=min_len, progress=progress)
+
     from .utils.device import small_scope
 
     counter = KmerCounter(k, capacity=1 << 16)
@@ -66,9 +157,10 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
     # small inputs run on the host CPU backend: TPU dispatch latency
     # dominates below ~4M k-mers (utils/device.py)
     with small_scope(total_bases if not py_files else 1 << 62):
-        # ~32M codes per device slab: bounds the [16, 256, C] key planes
-        # the stream kernel emits to ~256 MB while amortizing dispatch
-        slab_codes = 1 << 25
+        # ~128M codes per device slab: bounds the [16, 256, C] key planes
+        # the stream kernel emits to ~1 GB while amortizing dispatch (each
+        # slab dispatch costs 10-100ms on a tunneled link)
+        slab_codes = 1 << 27
         for path, codes, lengths in parsed_files:
             offs = np.concatenate(
                 [[0], np.cumsum(lengths.astype(np.int64))])

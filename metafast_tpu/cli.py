@@ -40,6 +40,7 @@ def _print_help(tool_cls) -> None:
     print("  -w --work-dir    working directory (default: workDir)")
     print("  -c --continue    continue the previous run (checkpointed steps)")
     print("     --force       rewrite the working directory")
+    print("     --shards <n>  shard k-mer counting over n mesh devices")
     print("     --start NAME  start from this step")
     print("     --finish NAME stop after this step")
     print("  -v --verbose     enable debug output")
@@ -129,6 +130,19 @@ def main(argv: list[str] | None = None) -> int:
     start = opts.pop("start", None)
     finish = opts.pop("finish", None)
     verbose = bool(opts.pop("v", False) or opts.pop("verbose", False))
+    shards = opts.pop("shards", None)
+    if shards is not None:
+        # shard k-mer counting over a device mesh (parallel/count.py);
+        # the TPU-era analog of the reference's -p thread count
+        import jax
+        from . import api as _api
+        from .parallel.count import make_mesh
+        n = int(_scalar(shards))
+        if n > len(jax.devices()):
+            print(f"ERROR: --shards {n} exceeds available devices "
+                  f"({len(jax.devices())})")
+            return 1
+        _api.set_default_mesh(make_mesh(n))
     opts.pop("p", None)
     opts.pop("available-processors", None)
     opts.pop("m", None)

@@ -58,6 +58,11 @@ def load_library():
         lib.build_stream_cols.restype = None
         lib.build_stream_cols.argtypes = [p8, i64, p32, i64, ctypes.c_int32,
                                           pu32, pu32, i64]
+        pu64 = ctypes.POINTER(ctypes.c_uint64)
+        pu16 = ctypes.POINTER(ctypes.c_uint16)
+        lib.count_kmers_baseline.restype = i64
+        lib.count_kmers_baseline.argtypes = [p8, p32, i64, ctypes.c_int32,
+                                             pu64, pu16, ctypes.c_int32, p64]
         _lib = lib
         return _lib
 

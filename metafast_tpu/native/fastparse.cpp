@@ -305,4 +305,50 @@ void pack_batch(const uint8_t* codes, const int64_t* offsets,
         memset(out + n_reads * stride, 0, (size_t)((rows - n_reads) * stride));
 }
 
+// Reference-style single-thread k-mer counter: rolling canonical ShortKmer
+// loop + open-addressing hash table with linear probing and saturating
+// 16-bit adds -- a native-speed stand-in for the Java toolkit's hot loop
+// (itmo Long2ShortHashMap.java:119-157, src/io/IOUtils.java:756-769),
+// used ONLY to calibrate the benchmark baseline (bench.py).
+//   table_log2  log2 of table capacity (must leave <75% load)
+// Returns number of k-mers counted; *n_unique gets the distinct count.
+int64_t count_kmers_baseline(const uint8_t* codes, const int32_t* lengths,
+                             int64_t n_reads, int32_t k,
+                             uint64_t* table, uint16_t* counts,
+                             int32_t table_log2, int64_t* n_unique) {
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const uint64_t tmask = (1ULL << table_log2) - 1;
+    int64_t total = 0, uniq = 0;
+    int64_t off = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        int32_t len = lengths[r];
+        if (len >= k) {
+            uint64_t fw = 0, rc = 0;
+            for (int32_t p = 0; p < len; p++) {
+                uint64_t c = codes[off + p];
+                fw = ((fw << 2) | c) & mask;
+                rc = (rc >> 2) | ((3ULL - c) << (2 * (k - 1)));
+                if (p >= k - 1) {
+                    uint64_t key = (fw < rc ? fw : rc) + 1;  // 0 = empty
+                    // murmur-style finalizer, like the reference's
+                    // murmurHash3 position hash
+                    uint64_t h = key;
+                    h ^= h >> 33; h *= 0xFF51AFD7ED558CCDULL;
+                    h ^= h >> 33; h *= 0xC4CEB9FE1A85EC53ULL;
+                    h ^= h >> 33;
+                    uint64_t pos = h & tmask;
+                    while (table[pos] != 0 && table[pos] != key)
+                        pos = (pos + 1) & tmask;
+                    if (table[pos] == 0) { table[pos] = key; uniq++; }
+                    if (counts[pos] < 32767) counts[pos]++;
+                    total++;
+                }
+            }
+        }
+        off += len;
+    }
+    *n_unique = uniq;
+    return total;
+}
+
 }  // extern "C"

@@ -378,15 +378,16 @@ def _bucket_size(n: int) -> int:
 
 
 def _bucket_size_fine(n: int) -> int:
-    """Smallest s >= n with s = m * 2^(k-3), m in 8..16 (<= 12.5% padding).
+    """Smallest s >= n on an 8-per-octave grid (16 above 2^26): <= 12.5%
+    (6.25%) padding.
 
     Used for the big consolidation sorts, where a pow2 bucket's padding
-    is sorted at full cost; 8 signatures per octave stays compile-bounded
-    (signatures persist in the compilation cache)."""
+    is sorted at full cost; a bounded signature count per octave keeps
+    compiles rare (and they persist in the compilation cache)."""
     if n < (1 << 20):
         return _bucket_size(n)
     p = _pow2(n)
-    step = p // 8
+    step = p // (16 if n >= (1 << 26) else 8)
     return -(-n // step) * step
 
 
@@ -422,6 +423,8 @@ def _parallel_fetch(arrays):
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    if not arrays:
+        return []
     with ThreadPoolExecutor(len(arrays)) as ex:
         return list(ex.map(np.asarray, arrays))
 
@@ -496,13 +499,19 @@ class KmerCounter:
         (ops/stream_extract.py: Pallas on TPU, XLA elsewhere) — no
         per-read padding, 16 codes per u32 word on the wire.
         """
-        from .stream_extract import build_stream, stream_extract
+        from .stream_extract import build_stream
 
-        self._add_total_from_lengths(np.asarray(lengths))
         words, vmask, _n_valid = build_stream(np.asarray(codes_flat),
                                               np.asarray(lengths), self.k)
-        hi, lo = stream_extract(jnp.asarray(words), jnp.asarray(vmask),
-                                self.k)
+        self.add_stream_device(jnp.asarray(words), jnp.asarray(vmask),
+                               lengths)
+
+    def add_stream_device(self, words_dev, vmask_dev, lengths):
+        """add_stream over device-resident (words, vmask) column arrays."""
+        from .stream_extract import stream_extract
+
+        self._add_total_from_lengths(np.asarray(lengths))
+        hi, lo = stream_extract(words_dev, vmask_dev, self.k)
         self._pending_insert(hi.reshape(-1), lo.reshape(-1))
 
     # -- raw (uncounted) key accumulation ----------------------------------
@@ -560,16 +569,29 @@ class KmerCounter:
 
     # -- results ----------------------------------------------------------
 
-    def finish(self):
-        """Return (keys int64 sorted ascending, counts int32) as numpy."""
+    def finish_device(self):
+        """Merge all state into ONE counted device table (hi, lo, cnt).
+
+        Unique keys sit compacted at the front in ascending order with a
+        sentinel-padded tail; no host transfer happens beyond the trim
+        syncs.  Returns None when nothing was added.
+        """
         self._consolidate_pending()
         if not self._levels:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+            return None
         while len(self._levels) > 1:
             sizes = sorted(self._levels)
             small = self._levels.pop(sizes[0])
             self._insert(_pad_to(small, sizes[1]))
-        ((_, (hi, lo, cnt)),) = self._levels.items()
+        ((_, table),) = self._levels.items()
+        return table
+
+    def finish(self):
+        """Return (keys int64 sorted ascending, counts int32) as numpy."""
+        table = self.finish_device()
+        if table is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        hi, lo, cnt = table
         # host transfers over a tunneled TPU run at tens of MB/s: slice
         # the fetch to a fine-grained bucket of the live count, ship
         # counts as int16 (saturation bound fits), and pull the three

@@ -149,3 +149,268 @@ def gather_counts(hi, lo, counts) -> tuple[np.ndarray, np.ndarray]:
     keys, cnt = keys[keep].astype(np.int64), cnt[keep].astype(np.int32)
     order = np.argsort(keys)
     return keys[order], cnt[order]
+
+
+# ---------------------------------------------------------------------------
+# Streaming sharded counter
+# ---------------------------------------------------------------------------
+#
+# The single-batch sharded_count above re-shards RAW k-mers on every batch,
+# which pays an all-to-all (plus bucket padding) per batch.  The streaming
+# design below is cheaper and matches the reference's memory story (striped
+# maps shard the KEY SPACE, itmo BigLong2ShortHashMap.java:40-70):
+#
+#   1. read streams are data-parallel over devices; each device extracts
+#      and COUNTS its own chunks locally (identical work to a single chip
+#      on 1/n of the data — no communication on the hot path);
+#   2. counted chunk tables (already unique-compacted, typically 5-20x
+#      smaller than raw keys) are hash-bucketed and exchanged with ONE
+#      all-to-all per consolidation, so every key settles on its shard
+#      device; per-shard accumulators merge them with saturating adds.
+#
+# Saturation commutes with this split exactly: min(sum_i min(c_i, S), S)
+# == min(sum_i c_i, S), so per-device partial counts merged after the
+# exchange equal the reference's globally saturated counts.
+#
+# HBM scaling: per-device accumulator tables hold only that shard's keys
+# (1/n of the unique key space), which is what makes CAMI-scale single
+# samples fit (SURVEY "HBM-scale tables").
+
+from ..ops.count import (SATURATE, _bucket_size_fine, _pow2,
+                         _rle_compact_weighted, _sort_triple, count_flat,
+                         merge_counted)
+
+
+class ShardOverflowError(RuntimeError):
+    """A shard-exchange bucket overflowed; re-run with a larger cap_factor."""
+
+    def __init__(self, dropped: int):
+        super().__init__(
+            f"shard exchange dropped {dropped} k-mer table entries; "
+            "re-run with a larger cap_factor")
+        self.dropped = dropped
+
+
+def _bucket_weighted(hi, lo, cnt, n_shards: int, cap: int):
+    """_bucket_local for counted tables: carries counts alongside keys."""
+    valid = ~bp.is_sentinel(hi, lo) & (cnt > 0)
+    shard = jnp.where(valid, hash_shard(hi, lo, n_shards), n_shards)
+    order = jnp.argsort(shard)
+    s_sorted = shard[order]
+    h_sorted = hi[order]
+    l_sorted = lo[order]
+    c_sorted = cnt[order]
+    idx = jnp.arange(s_sorted.shape[0], dtype=jnp.int32)
+    first = jnp.searchsorted(
+        s_sorted, jnp.arange(n_shards + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    pos = idx - first[jnp.clip(s_sorted, 0, n_shards)]
+    keep = (s_sorted < n_shards) & (pos < cap)
+    dropped = jnp.sum((s_sorted < n_shards) & (pos >= cap))
+    tgt_shard = jnp.where(keep, s_sorted, n_shards - 1)
+    tgt_pos = jnp.where(keep, pos, cap - 1)
+    buf_hi = jnp.full((n_shards, cap), U32(bp.SENTINEL))
+    buf_lo = jnp.full((n_shards, cap), U32(bp.SENTINEL))
+    buf_cnt = jnp.zeros((n_shards, cap), jnp.int32)
+    buf_hi = buf_hi.at[tgt_shard, tgt_pos].set(
+        jnp.where(keep, h_sorted, U32(bp.SENTINEL)), mode="drop")
+    buf_lo = buf_lo.at[tgt_shard, tgt_pos].set(
+        jnp.where(keep, l_sorted, U32(bp.SENTINEL)), mode="drop")
+    buf_cnt = buf_cnt.at[tgt_shard, tgt_pos].set(
+        jnp.where(keep, c_sorted, 0), mode="drop")
+    return buf_hi, buf_lo, buf_cnt, dropped
+
+
+def _wrap1(fn):
+    """Lift a per-device fn over the leading (sharded) axis inside
+    shard_map: local blocks arrive as [1, ...]."""
+    def inner(*args):
+        outs = fn(*(a[0] for a in args))
+        if isinstance(outs, tuple):
+            return tuple(o[None] for o in outs)
+        return outs[None]
+    return inner
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "use_pallas"))
+def _sharded_stream_extract(words, vmask, *, k: int, mesh: Mesh,
+                            use_pallas: bool):
+    """[C_total, ROWS] column streams -> per-device flat keys [n, S]."""
+    from ..ops.stream_extract import (stream_extract_pallas,
+                                      stream_extract_xla)
+
+    fn = stream_extract_pallas if use_pallas else stream_extract_xla
+
+    def step(w, v):
+        hi, lo = fn(w, v, k)
+        return hi.reshape(1, -1), lo.reshape(1, -1)
+
+    return jax.shard_map(step, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                         out_specs=(P(AXIS), P(AXIS)))(words, vmask)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_count_flat(hi, lo, *, mesh: Mesh):
+    return jax.shard_map(_wrap1(count_flat), mesh=mesh,
+                         in_specs=(P(AXIS), P(AXIS)),
+                         out_specs=(P(AXIS),) * 3)(hi, lo)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_merge_counted(ha, la, ca, hb, lb, cb, *, mesh: Mesh):
+    return jax.shard_map(_wrap1(merge_counted), mesh=mesh,
+                         in_specs=(P(AXIS),) * 6,
+                         out_specs=(P(AXIS),) * 3)(ha, la, ca, hb, lb, cb)
+
+
+@partial(jax.jit, static_argnames=("mesh", "cap"))
+def _sharded_exchange(hi, lo, cnt, *, mesh: Mesh, cap: int):
+    """All-to-all counted tables onto their hash shards; RLE-merge the
+    received rows (keys may repeat across source devices)."""
+    n = mesh.shape[AXIS]
+
+    def step(h, l, c):
+        bh, bl, bc, dropped = _bucket_weighted(h[0], l[0], c[0], n, cap)
+        rh = jax.lax.all_to_all(bh, AXIS, split_axis=0, concat_axis=0,
+                                tiled=True)
+        rl = jax.lax.all_to_all(bl, AXIS, split_axis=0, concat_axis=0,
+                                tiled=True)
+        rc = jax.lax.all_to_all(bc, AXIS, split_axis=0, concat_axis=0,
+                                tiled=True)
+        h2, l2, c2 = _sort_triple(rh.reshape(-1), rl.reshape(-1),
+                                  rc.reshape(-1))
+        out = _rle_compact_weighted(h2, l2, c2)
+        return out[0][None], out[1][None], out[2][None], dropped[None]
+
+    return jax.shard_map(step, mesh=mesh, in_specs=(P(AXIS),) * 3,
+                         out_specs=(P(AXIS),) * 4)(hi, lo, cnt)
+
+
+def _trim_sharded(table, n_dev: int):
+    """Slice a [n, m] counted table to pow2(max live across devices)."""
+    hi, lo, cnt = table
+    live = int(jnp.max(jnp.sum(cnt > 0, axis=1)))
+    m = _pow2(max(live, 1))
+    if m >= hi.shape[1]:
+        return table
+    return (jax.lax.slice_in_dim(hi, 0, m, axis=1),
+            jax.lax.slice_in_dim(lo, 0, m, axis=1),
+            jax.lax.slice_in_dim(cnt, 0, m, axis=1))
+
+
+def _pad_sharded(table, size: int):
+    hi, lo, cnt = table
+    n, m = hi.shape
+    if m == size:
+        return table
+    pad = size - m
+    return (jnp.concatenate(
+                [hi, jnp.full((n, pad), bp.SENTINEL, dtype=U32)], axis=1),
+            jnp.concatenate(
+                [lo, jnp.full((n, pad), bp.SENTINEL, dtype=U32)], axis=1),
+            jnp.concatenate(
+                [cnt, jnp.zeros((n, pad), dtype=jnp.int32)], axis=1))
+
+
+class ShardedKmerCounter:
+    """Streaming canonical k-mer counter over a device mesh.
+
+    The multi-chip equivalent of ops.count.KmerCounter (same binary-
+    counter level discipline, same saturating semantics); see the module
+    comment above for the communication plan.  Feed it column streams
+    built by ops.stream_extract.build_stream with
+    lane_multiple = 128 * mesh size.
+    """
+
+    def __init__(self, k: int, mesh: Mesh, chunk: int = 1 << 27,
+                 cap_factor: float = 2.0):
+        self.k = k
+        self.mesh = mesh
+        self.n = mesh.shape[AXIS]
+        self._chunk = chunk                 # local raw slots per device
+        self._cap_factor = cap_factor
+        self._pending: list = []            # [n, S] raw key arrays
+        self._pending_n = 0                 # per-device slot count
+        self._levels: dict = {}             # size -> [n, size] tables
+        self._dropped: list = []            # deferred device scalars
+        self._total_host = 0
+        self._sharding = jax.NamedSharding(mesh, P(AXIS))
+
+    @property
+    def total_kmers_seen(self) -> int:
+        return self._total_host
+
+    def add_stream(self, words, vmask, lengths) -> None:
+        """words/vmask: [C_total, ROWS] u32 with C_total % (n*128) == 0
+        (host or device arrays); lengths: host int32 (for accounting)."""
+        self._total_host += int(np.maximum(
+            np.asarray(lengths).astype(np.int64) - self.k + 1, 0).sum())
+        words = jax.device_put(words, self._sharding)
+        vmask = jax.device_put(vmask, self._sharding)
+        use_pallas = self.mesh.devices.flat[0].platform in ("tpu", "axon")
+        hi, lo = _sharded_stream_extract(words, vmask, k=self.k,
+                                         mesh=self.mesh,
+                                         use_pallas=use_pallas)
+        self._pending.append((hi, lo))
+        self._pending_n += hi.shape[1]
+        if self._pending_n >= self._chunk:
+            self._consolidate()
+
+    def _consolidate(self) -> None:
+        if not self._pending:
+            return
+        size = _bucket_size_fine(self._pending_n)
+        his = [p[0] for p in self._pending]
+        los = [p[1] for p in self._pending]
+        if size > self._pending_n:
+            pad = size - self._pending_n
+            his.append(jnp.full((self.n, pad), bp.SENTINEL, U32))
+            los.append(jnp.full((self.n, pad), bp.SENTINEL, U32))
+        hi = jnp.concatenate(his, axis=1)
+        lo = jnp.concatenate(los, axis=1)
+        self._pending = []
+        self._pending_n = 0
+        table = _sharded_count_flat(hi, lo, mesh=self.mesh)
+        table = _trim_sharded(table, self.n)
+        # exchange onto hash shards: cap sized for the worst device's
+        # local uniques with headroom (hash mixing evens the buckets)
+        m = table[0].shape[1]
+        cap = max(16, int(m / self.n * self._cap_factor))
+        h, l, c, dropped = _sharded_exchange(*table, mesh=self.mesh,
+                                             cap=cap)
+        self._dropped.append(dropped)
+        self._insert(_trim_sharded((h, l, c), self.n))
+
+    def _insert(self, table) -> None:
+        size = table[0].shape[1]
+        while size in self._levels:
+            other = self._levels.pop(size)
+            table = _sharded_merge_counted(*table, *other, mesh=self.mesh)
+            table = _trim_sharded(table, self.n)
+            size = table[0].shape[1]
+        self._levels[size] = table
+
+    def finish(self):
+        """(keys int64 sorted ascending, counts int32) on the host.
+
+        Raises ShardOverflowError if any exchange bucket overflowed
+        (increase cap_factor and re-run)."""
+        self._consolidate()
+        dropped = sum(int(np.asarray(d).sum()) for d in self._dropped)
+        if dropped:
+            raise ShardOverflowError(dropped)
+        if not self._levels:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        while len(self._levels) > 1:
+            sizes = sorted(self._levels)
+            small = self._levels.pop(sizes[0])
+            self._insert(_pad_sharded(small, sizes[1]))
+        ((_, (hi, lo, cnt)),) = self._levels.items()
+        hi = np.asarray(hi).reshape(-1).astype(np.uint64)
+        lo = np.asarray(lo).reshape(-1).astype(np.uint64)
+        cnt = np.asarray(cnt).reshape(-1)
+        keep = cnt > 0
+        keys = ((hi[keep] << np.uint64(32)) | lo[keep]).astype(np.int64)
+        cnt = cnt[keep].astype(np.int32)
+        order = np.argsort(keys)        # shards are disjoint hash ranges
+        return keys[order], cnt[order]

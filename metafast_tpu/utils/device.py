@@ -28,6 +28,22 @@ def cpu_device():
         return None
 
 
+def force_sync(*arrays) -> int:
+    """Force full materialization of device arrays.
+
+    jax.block_until_ready returns early on the tunneled axon backend
+    (dispatch acknowledgement, not completion); fetching a scalar that
+    depends on the data is the reliable barrier.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _probe(*xs):
+        return sum(jnp.sum(x.ravel()[-8:].astype(jnp.int32)) for x in xs)
+
+    return int(_probe(*arrays))
+
+
 def small_scope(n_elements: int):
     """Context manager: route jit dispatches to CPU when the problem is
     small and the default backend is not already CPU."""

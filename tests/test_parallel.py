@@ -85,3 +85,81 @@ def test_sharded_components_match():
     single = np.asarray(connected_labels(jnp.asarray(nbr), jnp.asarray(active)))
     sharded = sharded_connected_labels(nbr, active, make_mesh(8))
     assert np.array_equal(single, sharded)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ShardedKmerCounter
+# ---------------------------------------------------------------------------
+
+def _random_stream(rng, k, n_reads, lo=None, hi=170):
+    lengths = rng.integers(lo or max(1, k - 3), hi, n_reads).astype(np.int32)
+    codes = rng.integers(0, 4, int(lengths.sum()), dtype=np.uint8)
+    return codes, lengths
+
+
+@needs_8
+@pytest.mark.parametrize("k", [21, 31])
+def test_streaming_sharded_counter_matches_single(k):
+    from metafast_tpu.ops.stream_extract import build_stream
+    from metafast_tpu.parallel.count import ShardedKmerCounter
+
+    rng = np.random.default_rng(17)
+    mesh = make_mesh(8)
+    # tiny chunk forces multiple consolidations (streaming accumulation,
+    # exchange, and binary-counter merges all exercised)
+    counter = ShardedKmerCounter(k, mesh, chunk=1 << 18)
+    ref = KmerCounter(k)
+    for batch in range(3):
+        codes, lengths = _random_stream(rng, k, 400)
+        words, vmask, _ = build_stream(codes, lengths, k,
+                                       lane_multiple=8 * 8)
+        counter.add_stream(words, vmask, lengths)
+        ref.add_stream(codes, lengths)
+    keys, counts = counter.finish()
+    rk, rc = ref.finish()
+    assert np.array_equal(keys, rk)
+    assert np.array_equal(counts, rc)
+    assert counter.total_kmers_seen == ref.total_kmers_seen
+
+
+@needs_8
+def test_streaming_sharded_counter_overflow_raises():
+    from metafast_tpu.ops.stream_extract import build_stream
+    from metafast_tpu.parallel.count import (ShardedKmerCounter,
+                                             ShardOverflowError)
+
+    rng = np.random.default_rng(5)
+    mesh = make_mesh(8)
+    counter = ShardedKmerCounter(21, mesh, chunk=1 << 16,
+                                 cap_factor=0.001)
+    codes, lengths = _random_stream(rng, 21, 600)
+    words, vmask, _ = build_stream(codes, lengths, 21, lane_multiple=8 * 8)
+    counter.add_stream(words, vmask, lengths)
+    with pytest.raises(ShardOverflowError):
+        counter.finish()
+
+
+@needs_8
+def test_streaming_sharded_saturation_matches():
+    # one k-mer repeated far past 32767 across devices: per-device partial
+    # counts saturate only after the exchange merge, exactly like the
+    # reference's global table (itmo NumUtils.java:21-26)
+    from metafast_tpu.ops.stream_extract import build_stream
+    from metafast_tpu.parallel.count import ShardedKmerCounter
+
+    k = 21
+    mesh = make_mesh(8)
+    n_reads = 2800
+    L = 70      # 50 kmers/read over a 4-phase pattern -> 35000 per canonical
+    codes = np.tile(np.tile(np.arange(4, dtype=np.uint8), 18)[:L], n_reads)
+    lengths = np.full(n_reads, L, np.int32)
+    counter = ShardedKmerCounter(k, mesh, chunk=1 << 14)
+    words, vmask, _ = build_stream(codes, lengths, k, lane_multiple=8 * 8)
+    counter.add_stream(words, vmask, lengths)
+    keys, counts = counter.finish()
+    ref = KmerCounter(k)
+    ref.add_stream(codes, lengths)
+    rk, rc = ref.finish()
+    assert np.array_equal(keys, rk)
+    assert np.array_equal(counts, rc)
+    assert counts.max() == 32767
