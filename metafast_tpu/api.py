@@ -56,6 +56,8 @@ def count_reads_files_sharded(files: list[str], k: int, mesh,
         counter = ShardedKmerCounter(k, mesh, cap_factor=cap_factor)
         n_reads = 0
         n_skipped = 0
+        reads_done = 0
+        kmers_est = 0
         slab_codes = 1 << 27
         for path in files:
             from .io import native_reads
@@ -97,9 +99,13 @@ def count_reads_files_sharded(files: list[str], k: int, mesh,
                     codes[offs[r0]:offs[r1]], lengths[r0:r1], k,
                     lane_multiple=lane_mult)
                 counter.add_stream(words, vmask, lengths[r0:r1])
-                r0 = r1
                 if progress is not None:
-                    progress(path, None)
+                    reads_done += r1 - r0
+                    kmers_est += int(np.maximum(
+                        lengths[r0:r1].astype(np.int64) - (k - 1), 0).sum())
+                    progress(dict(path=path, reads=reads_done,
+                                  kmers=kmers_est))
+                r0 = r1
         try:
             keys, counts = counter.finish()
         except ShardOverflowError:
@@ -161,6 +167,8 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
         # the stream kernel emits to ~1 GB while amortizing dispatch (each
         # slab dispatch costs 10-100ms on a tunneled link)
         slab_codes = 1 << 27
+        reads_done = 0
+        kmers_est = 0
         for path, codes, lengths in parsed_files:
             offs = np.concatenate(
                 [[0], np.cumsum(lengths.astype(np.int64))])
@@ -172,9 +180,13 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
                 r1 = min(max(r1, r0 + 1), len(lengths))
                 counter.add_stream(codes[offs[r0]:offs[r1]],
                                    lengths[r0:r1])
-                r0 = r1
                 if progress is not None:
-                    progress(path, None)
+                    reads_done += r1 - r0
+                    kmers_est += int(np.maximum(
+                        lengths[r0:r1].astype(np.int64) - (k - 1), 0).sum())
+                    progress(dict(path=path, reads=reads_done,
+                                  kmers=kmers_est))
+                r0 = r1
         for path in py_files:
             last = None
             for batch in readsio.read_batches(path, batch_reads=batch_reads,
@@ -182,7 +194,11 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
                 counter.add_batch(batch.codes, batch.lengths)
                 last = batch
                 if progress is not None:
-                    progress(path, batch)
+                    reads_done += len(batch.lengths)
+                    kmers_est += int(np.maximum(
+                        batch.lengths.astype(np.int64) - (k - 1), 0).sum())
+                    progress(dict(path=path, reads=reads_done,
+                                  kmers=kmers_est))
             if last is not None:
                 n_reads += last.n_total
                 n_skipped += last.n_skipped

@@ -164,8 +164,12 @@ def main(argv: list[str] | None = None) -> int:
     for key, val in opts.items():
         p = by_short.get(key) or by_long.get(key)
         if p is None:
-            logger.warning("unknown option --%s (ignored)", key)
-            continue
+            # the reference's commons-cli parser errors on unrecognized
+            # options (Tool.java:626-659); a typo must not silently run
+            # the whole pipeline with defaults
+            logger.error("unknown option --%s for tool '%s' (see -t %s -h)",
+                         key, tool.NAME, tool.NAME)
+            return 1
         if p.type is bool:
             tool.set(p.name, True)
         elif p.multiple:
@@ -179,7 +183,28 @@ def main(argv: list[str] | None = None) -> int:
     except fw.ExecutionFailed as e:
         logger.error("%s", e)
         return 1
+    except MemoryError:
+        logger.error(_OOM_ADVICE)
+        return 1
+    except Exception as e:  # uncaught-failure UX parity (Tool.java:572-585)
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+            logger.error("device out of memory: %s", msg.splitlines()[0])
+            logger.error(_OOM_ADVICE)
+        else:
+            logger.exception("unexpected failure in tool '%s'", tool.NAME)
+            logger.error("this looks like a bug; the full traceback is in "
+                         "%s", workdir / "log")
+        return 1
     return 0
+
+
+_OOM_ADVICE = (
+    "the run exceeded available memory. Try: (1) shard the k-mer table "
+    "over more devices with --shards N, (2) reduce the per-batch working "
+    "set by splitting input files, or (3) raise the k-mer frequency "
+    "threshold -b to shrink the table. (Reference equivalent: increase "
+    "-m, Tool.java:532-564.)")
 
 
 def _scalar(v):

@@ -88,14 +88,29 @@ def feature_vectors(components, keys: np.ndarray, counts: np.ndarray,
     Parity: FeaturesCalculatorMain.buildAndPrintVector
     (src/tools/FeaturesCalculatorMain.java:169-230): value > threshold.
     """
-    vec = np.zeros(len(components), dtype=np.int64)
-    brd = np.zeros(len(components), dtype=np.float64)
-    for i, c in enumerate(components):
-        ck = np.asarray(c.kmers, dtype=np.int64)
-        pres = api.presence_counts(ck, keys, counts)
-        hit = pres > threshold
-        vec[i] = int(pres[hit].sum())
-        brd[i] = hit.sum() / len(ck)
+    C = len(components)
+    vec = np.zeros(C, dtype=np.int64)
+    brd = np.zeros(C, dtype=np.float64)
+    if C == 0:
+        return vec, brd
+    # One searchsorted over the concatenated component keys, then a
+    # segment-sum over component boundaries (SURVEY §7-6) — replaces the
+    # per-component probe loop of FeaturesCalculatorMain.java:169-230 at
+    # vector speed.  Empty components (possible under --selected-kmers
+    # filtering) contribute vector 0 / breadth 0.
+    sizes = np.array([len(c.kmers) for c in components], dtype=np.int64)
+    nonempty = sizes > 0
+    if not nonempty.any():
+        return vec, brd
+    allk = np.concatenate([np.asarray(c.kmers, dtype=np.int64)
+                           for c in components if len(c.kmers)])
+    pres = api.presence_counts(allk, keys, counts)
+    hit = pres > threshold
+    ne_sizes = sizes[nonempty]
+    starts = np.zeros(len(ne_sizes), dtype=np.int64)
+    np.cumsum(ne_sizes[:-1], out=starts[1:])
+    vec[nonempty] = np.add.reduceat(np.where(hit, pres, 0), starts)
+    brd[nonempty] = np.add.reduceat(hit.astype(np.int64), starts) / ne_sizes
     return vec, brd
 
 

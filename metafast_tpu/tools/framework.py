@@ -196,6 +196,12 @@ class Tool:
         """Run this tool (and its steps) under ``workdir``."""
         self.ctx = ctx
         self.workdir = Path(workdir) if workdir else ctx.workdir
+        if workdir is None:
+            # top-level invocation: refuse to clobber a workdir holding
+            # previous run state unless told how (reference prompts
+            # "rewrite workDir?" interactively, Tool.java:407-433; we are
+            # flag-based: --continue resumes, --force rewrites)
+            self._guard_existing_state()
         self.workdir.mkdir(parents=True, exist_ok=True)
 
         t0 = time.time()
@@ -203,6 +209,18 @@ class Tool:
         self.run_impl()
         self._run_steps()
         self.info("done in %.1fs" % (time.time() - t0))
+
+    def _guard_existing_state(self) -> None:
+        ctx = self.ctx
+        if ctx.cont or ctx.force or not self.workdir.is_dir():
+            return
+        prior = sorted(str(p.parent.relative_to(self.workdir))
+                       for p in self.workdir.glob(f"*/{SUCCESS}"))
+        if prior:
+            raise ExecutionFailed(
+                f"working directory '{self.workdir}' contains state from a "
+                f"previous run (steps: {', '.join(prior)}); pass --continue "
+                f"to resume it or --force to overwrite it")
 
     def _step_in_range(self, name: str) -> bool:
         ctx = self.ctx

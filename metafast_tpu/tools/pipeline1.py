@@ -52,7 +52,11 @@ class KmerCounterTool(Tool):
         files = [str(f) for f in self.get("reads")]
         b = self.get("maximal-bad-frequency")
 
-        keys, counts, stats = api.count_reads_files(files, k)
+        from ..utils.progress import CountingProgress
+        logger = self.ctx.logger if self.ctx else None
+        with CountingProgress(logger=logger) as prog:
+            keys, counts, stats = api.count_reads_files(files, k,
+                                                        progress=prog)
         self.info(f"{len(keys)} k-mers found over {stats['reads']} reads "
                   f"({stats['skipped']} skipped)")
 

@@ -59,6 +59,43 @@ class Progress:
         self.close()
 
 
+class CountingProgress:
+    """Counting-path progress: inline console line + periodic log lines.
+
+    Parity: the reference's dispatcher logs every 2.5M reads with map
+    sizes (src/io/ReadsDispatcher.java:40-51) and renders an in-place
+    console progress line (itmo utils/tool/Tool.java:1134-1171).  The
+    callable signature matches api.count_reads_files's ``progress`` hook:
+    one dict with keys path/reads/kmers.
+    """
+
+    def __init__(self, logger=None, every_reads: int = 2_500_000,
+                 line: Progress | None = None):
+        self.logger = logger
+        self.every = every_reads
+        self._next = every_reads
+        self.line = Progress(None, prefix="reads") if line is None else line
+
+    def __call__(self, info: dict) -> None:
+        reads = int(info.get("reads", 0))
+        self.line.update(done=reads)
+        if self.logger is not None and reads >= self._next:
+            self._next = (reads // self.every + 1) * self.every
+            self.logger.info(
+                "processed %s reads from %s, ~%s k-mers so far (mem: %s)",
+                f"{reads:,}", info.get("path", "?"),
+                f"{int(info.get('kmers', 0)):,}", memory_used_str())
+
+    def close(self) -> None:
+        self.line.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def memory_used_str() -> str:
     """Resident memory as a human string (reference Misc.usedMemoryAsString)."""
     try:

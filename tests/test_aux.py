@@ -63,3 +63,42 @@ def test_per_host_files():
     files = ["a", "b", "c", "d", "e"]
     assert per_host_files(files, 0, 2) == ["a", "c", "e"]
     assert per_host_files(files, 1, 2) == ["b", "d"]
+
+
+def test_counting_progress_logs_periodically(caplog):
+    import io
+    import logging
+    from metafast_tpu.utils.progress import CountingProgress, Progress
+
+    logger = logging.getLogger("test_counting_progress")
+    line = Progress(None, stream=io.StringIO(), enabled=True)
+    with caplog.at_level(logging.INFO, logger=logger.name):
+        with CountingProgress(logger=logger, every_reads=100,
+                              line=line) as cp:
+            for r in (50, 120, 130, 310):
+                cp(dict(path="x.fa", reads=r, kmers=r * 60))
+    msgs = [rec.getMessage() for rec in caplog.records]
+    # 120 crosses the 100 mark, 310 crosses 200/300; 130 must not re-log
+    assert len(msgs) == 2
+    assert "120" in msgs[0] and "310" in msgs[1]
+
+
+def test_counting_progress_wired_into_counter_tool(tmp_path, ref_data, caplog):
+    """The kmer-counter CLI tool reports periodic progress (VERDICT #7)."""
+    import logging
+    from unittest import mock
+    from metafast_tpu.cli import main
+    from metafast_tpu.utils import progress as prog_mod
+
+    calls = []
+    orig = prog_mod.CountingProgress.__call__
+
+    def spy(self, info):
+        calls.append(info)
+        return orig(self, info)
+
+    with mock.patch.object(prog_mod.CountingProgress, "__call__", spy):
+        assert main(["-t", "kmer-counter", "-k", "31",
+                     "-i", str(ref_data / "meta_test_2.fa"),
+                     "-w", str(tmp_path / "wd")]) == 0
+    assert calls and calls[-1]["reads"] > 0 and calls[-1]["kmers"] > 0

@@ -76,3 +76,60 @@ def test_tool_help(capsys):
     assert main(["-t", "kmer-counter", "-h"]) == 0
     out = capsys.readouterr().out
     assert "--maximal-bad-frequency" in out
+
+
+def test_rerun_without_flags_refuses(workdir, caplog):
+    """Parity: interactive 'rewrite workDir?' guard (Tool.java:407-433),
+    flag-based: a workdir with prior state needs --continue or --force."""
+    import logging
+    wd, args = workdir
+    with caplog.at_level(logging.ERROR, logger="metafast"):
+        assert main(args) == 1
+    assert any("previous run" in r.getMessage() for r in caplog.records)
+    # --force overwrites; state must still be intact afterwards for the
+    # other module-scoped tests, so use --continue here instead
+    assert main(args + ["--continue"]) == 0
+
+
+def test_unknown_option_errors(tmp_path, ref_data, caplog):
+    """A typo'd option must error, not warn-and-run with defaults."""
+    import logging
+    args = ["-t", "kmer-counter", "-k", "31",
+            "-i", str(ref_data / "meta_test_2.fa"),
+            "-w", str(tmp_path / "wd"),
+            "--mim-seq-len", "100"]
+    with caplog.at_level(logging.ERROR, logger="metafast"):
+        assert main(args) == 1
+    assert any("unknown option" in r.getMessage() for r in caplog.records)
+
+
+def test_oom_maps_to_advice(tmp_path, monkeypatch, caplog):
+    import logging
+    from metafast_tpu.tools import framework as fw
+
+    class Boom(fw.get_tool("view")):
+        def run_impl(self):
+            raise MemoryError
+
+    monkeypatch.setitem(fw._REGISTRY, "view", Boom)
+    with caplog.at_level(logging.ERROR, logger="metafast"):
+        rc = main(["-t", "view", "-k", "5", "-kf", "/nonexistent",
+                   "-w", str(tmp_path / "wd")])
+    assert rc == 1
+    assert any("--shards" in r.getMessage() for r in caplog.records)
+
+
+def test_uncaught_exception_is_concise(tmp_path, monkeypatch, caplog):
+    import logging
+    from metafast_tpu.tools import framework as fw
+
+    class Boom(fw.get_tool("view")):
+        def run_impl(self):
+            raise RuntimeError("kaboom")
+
+    monkeypatch.setitem(fw._REGISTRY, "view", Boom)
+    with caplog.at_level(logging.ERROR, logger="metafast"):
+        rc = main(["-t", "view", "-k", "5", "-kf", "/nonexistent",
+                   "-w", str(tmp_path / "wd")])
+    assert rc == 1
+    assert any("bug" in r.getMessage() for r in caplog.records)

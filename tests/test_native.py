@@ -98,3 +98,13 @@ def test_native_extract_matches_oracle(tmp_path):
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
     want = np.concatenate([sequence_kmers(s, k) for s in seqs])
     assert np.array_equal(keys[:n], want)
+
+
+def test_crlf_and_double_cr_line_endings(tmp_path):
+    """'\r\n' and stray '\r\r\n' endings must not poison reads (ADVICE r1)."""
+    fa = tmp_path / "crlf.fa"
+    fa.write_bytes(b">r1\r\nACGTACGT\r\n>r2\r\r\nTTTTGGGG\r\r\n")
+    codes, lengths, skipped = native_reads.parse_file(str(fa))
+    assert skipped == 0
+    assert lengths.tolist() == [8, 8]
+    assert codes[:8].tolist() == [0, 2, 1, 3, 0, 2, 1, 3]

@@ -75,3 +75,57 @@ def test_oracle_agrees(ref_data):
     ], dtype=np.float64)
     for (i, j), v in GOLDEN.items():
         assert o.bray_curtis(vecs[i], vecs[j]) == pytest.approx(v, abs=1e-12)
+
+
+class _FakeComp:
+    def __init__(self, kmers):
+        self.kmers = np.asarray(kmers, dtype=np.int64)
+
+
+def _feature_vectors_loop(components, keys, counts, threshold=0):
+    """Brute-force per-component oracle (the pre-segment-sum semantics)."""
+    from metafast_tpu import api
+    vec = np.zeros(len(components), dtype=np.int64)
+    brd = np.zeros(len(components), dtype=np.float64)
+    for i, c in enumerate(components):
+        ck = np.asarray(c.kmers, dtype=np.int64)
+        if len(ck) == 0:
+            continue
+        pres = api.presence_counts(ck, keys, counts)
+        hit = pres > threshold
+        vec[i] = int(pres[hit].sum())
+        brd[i] = hit.sum() / len(ck)
+    return vec, brd
+
+
+def test_feature_vectors_segment_sum_parity():
+    from metafast_tpu.pipeline.matrix import feature_vectors
+    rng = np.random.default_rng(7)
+    universe = rng.choice(10_000, 3_000, replace=False).astype(np.int64)
+    keys = np.sort(universe[:2_000])
+    counts = rng.integers(1, 100, len(keys)).astype(np.int64)
+    comps = []
+    for size in [1, 3, 0, 17, 256, 0, 5]:
+        comps.append(_FakeComp(rng.choice(universe, size, replace=False)
+                               if size else []))
+    for thr in (0, 5):
+        v1, b1 = feature_vectors(comps, keys, counts, thr)
+        v2, b2 = _feature_vectors_loop(comps, keys, counts, thr)
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_allclose(b1, b2)
+
+
+def test_feature_vectors_5k_components_fast():
+    """5k components x ~100 k-mers each must finish in seconds (SURVEY §7-6)."""
+    import time
+    from metafast_tpu.pipeline.matrix import feature_vectors
+    rng = np.random.default_rng(11)
+    keys = np.sort(rng.choice(1 << 40, 400_000, replace=False).astype(np.int64))
+    counts = rng.integers(1, 1000, len(keys)).astype(np.int64)
+    comps = [_FakeComp(rng.choice(keys, rng.integers(50, 150)))
+             for _ in range(5_000)]
+    t0 = time.perf_counter()
+    vec, brd = feature_vectors(comps, keys, counts)
+    dt = time.perf_counter() - t0
+    assert dt < 10.0, f"feature_vectors took {dt:.1f}s for 5k components"
+    assert (vec > 0).all() and (brd == 1.0).all()

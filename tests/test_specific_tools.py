@@ -20,7 +20,7 @@ def test_specific_kmers(tmp_path):
     a = [_write(tmp_path, f"a{i}", {100: 30 + i, 300: 5}) for i in range(6)]
     b = [_write(tmp_path, f"b{i}", {200: 20 + i, 300: 5}) for i in range(6)]
     wd = tmp_path / "wd"
-    assert main(["-t", "specific-kmers", "-k", "5", "-w", str(wd),
+    assert main(["-t", "specific-kmers", "-w", str(wd),
                  "-A"] + a + ["-B"] + b) == 0
     ka, va = binfmt.read_kmers_bin(str(wd / "kmers" / "filtered_groupA.kmers.bin"))
     kb, vb = binfmt.read_kmers_bin(str(wd / "kmers" / "filtered_groupB.kmers.bin"))
@@ -35,7 +35,7 @@ def test_specific_kmers_3(tmp_path):
     b = [_write(tmp_path, f"3b{i}", {200: 30, 500: 9}) for i in range(5)]
     c = [_write(tmp_path, f"3c{i}", {300: 30, 500: 9}) for i in range(5)]
     wd = tmp_path / "wd"
-    assert main(["-t", "specific-kmers-3", "-k", "5", "-w", str(wd),
+    assert main(["-t", "specific-kmers-3", "-w", str(wd),
                  "-A"] + a + ["-B"] + b + ["-C"] + c) == 0
     got = {}
     for g in "ABC":
@@ -54,7 +54,7 @@ def test_top_stats_and_subset(tmp_path):
                 {200: 9, **({150: 9} if i < 2 else {}), 400: 9})
          for i in range(6)]
     wd = tmp_path / "wd"
-    assert main(["-t", "top-stats-kmers", "-k", "5", "-n", "2",
+    assert main(["-t", "top-stats-kmers", "-n", "2",
                  "-w", str(wd), "-A"] + a + ["-B"] + b) == 0
     topk, _ = binfmt.read_kmers_bin(
         str(wd / "kmers" / "top_2_chi_squared_specific.kmers.bin"))
