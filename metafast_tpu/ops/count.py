@@ -52,7 +52,7 @@ def _extract_flat(codes, lengths, k: int, out: int = 0):
 
 @jax.jit
 def _sort_pair(hi, lo):
-    return jax.lax.sort((hi, lo), num_keys=2)
+    return jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
 
 
 def count_batch(codes, lengths, k: int):
@@ -93,7 +93,7 @@ def count_flat(hi, lo):
 
 @jax.jit
 def _sort_triple(hi, lo, cnt):
-    return jax.lax.sort((hi, lo, cnt), num_keys=2)
+    return jax.lax.sort((hi, lo, cnt), num_keys=2, is_stable=False)
 
 
 def merge_counted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
@@ -129,7 +129,8 @@ def _rle_compact_ones(hi, lo):
     s_hi = jnp.where(live, hi, U32(bp.SENTINEL))
     s_lo = jnp.where(live, lo, U32(bp.SENTINEL))
     oidx = jnp.where(live, jnp.arange(n, dtype=jnp.int32), n)
-    s_hi, s_lo, oidx = jax.lax.sort((s_hi, s_lo, oidx), num_keys=2)
+    s_hi, s_lo, oidx = jax.lax.sort((s_hi, s_lo, oidx), num_keys=2,
+                                    is_stable=False)
     nxt = jnp.concatenate([oidx[1:], jnp.full((1,), n, jnp.int32)])
     totals = jnp.minimum(nxt, n_live) - oidx
     counts = jnp.where(bp.is_sentinel(s_hi, s_lo), 0,
@@ -203,7 +204,7 @@ def _rle_compact(hi, lo, weights):
     base = jnp.where(live, cw - w, 0)
     oidx = jnp.where(live, jnp.arange(n, dtype=jnp.int32), n)
     s_hi, s_lo, base, oidx = jax.lax.sort((s_hi, s_lo, base, oidx),
-                                          num_keys=2)
+                                          num_keys=2, is_stable=False)
     nxt = jnp.concatenate([oidx[1:], jnp.full((1,), n, jnp.int32)])
     run_end = cw[jnp.clip(nxt - 1, 0, n - 1)]
     totals = run_end - base
@@ -223,15 +224,16 @@ def _rle_compact(hi, lo, weights):
 # input (high-coverage duplication), and they are already in ascending key
 # order, so compaction only has to squeeze out sentinels:
 #
-#   1. mark run STARTS and run ENDS (two masked (key, key, idx) triples —
-#      counts come out as end_idx - start_idx + 1, no prefix sums and no
-#      big gathers, which measure far slower than sorts on TPU);
+#   1. mark run STARTS as one masked (key_hi, key_lo, idx) triple;
 #   2. row-sort [n/1024, 1024] tiles (~1/7th the bitonic passes of a
 #      global sort) — each row's live entries move to its front;
 #   3. sync the max per-row occupancy, slice every row to pow2(maxL)
 #      columns (usually ~8x narrower), repeat while it keeps shrinking;
-#   4. one small global sort compacts the rest, then counts are pure
-#      elementwise arithmetic on the aligned start/end tables.
+#   4. one small global sort compacts the rest; with starts FULLY
+#      compacted, run lengths are adjacent differences of the start
+#      indices (the r-th run ends where run r+1 begins, the last at
+#      n_live) — pure elementwise arithmetic, no prefix sums, no big
+#      gathers, and no second (run-END) triple through the hierarchy.
 #
 # The output is exactly the _trim()-ed table the binary counter stores.
 # Not usable under shard_map (host syncs): the pure count_flat /
@@ -245,74 +247,71 @@ _GLOBAL_MAX = 1 << 22
 
 
 @jax.jit
-def _mask_runs_ones(hi, lo):
-    """Masked run-start and run-end triples of a SORTED key array.
+def _mask_starts(hi, lo):
+    """Masked run-start triple of a SORTED key array.
 
-    Returns (start triple, end triple, n_unique): triples are (key_hi,
-    key_lo, index), sentinel-masked off-run; start/end entries align by
-    rank (both ascending by key, one per unique)."""
+    Returns ((key_hi, key_lo, index), n_unique, n_live): the triple is
+    sentinel-masked off-start (masked index = n, so masked entries sort
+    behind every live index too)."""
     n = hi.shape[0]
     sent = bp.is_sentinel(hi, lo)
     prev_hi = jnp.concatenate([jnp.zeros((1,), dtype=U32), hi[:-1]])
     prev_lo = jnp.concatenate([jnp.zeros((1,), dtype=U32), lo[:-1]])
     is_new = ((hi != prev_hi) | (lo != prev_lo)).at[0].set(True)
     start = is_new & ~sent
-    # a run ends where the next key differs; sentinels differ from any
-    # live key, so the sentinel boundary triggers is_new too
-    end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)]) & ~sent
     idx = jnp.arange(n, dtype=jnp.int32)
     s = (jnp.where(start, hi, U32(bp.SENTINEL)),
          jnp.where(start, lo, U32(bp.SENTINEL)),
          jnp.where(start, idx, n))
-    e = (jnp.where(end, hi, U32(bp.SENTINEL)),
-         jnp.where(end, lo, U32(bp.SENTINEL)),
-         jnp.where(end, idx, n))
-    return s, e, jnp.sum(start).astype(jnp.int32)
+    return (s, jnp.sum(start).astype(jnp.int32),
+            jnp.sum(~sent).astype(jnp.int32))
 
 
 @jax.jit
-def _rowsort_level(s1, s2, s3, e1, e2, e3):
-    """Row-sort both masked triples in [n/_ROWC, _ROWC] tiles; live
+def _rowsort_level(s1, s2, s3):
+    """Row-sort the masked triple in [n/_ROWC, _ROWC] tiles; live
     entries move to row fronts.  Returns tiled arrays + max row
-    occupancy (over both triples)."""
+    occupancy."""
     rs = lambda a: a.reshape(-1, _ROWC)
     s1, s2, s3 = jax.lax.sort((rs(s1), rs(s2), rs(s3)), dimension=1,
-                              num_keys=2)
-    e1, e2, e3 = jax.lax.sort((rs(e1), rs(e2), rs(e3)), dimension=1,
-                              num_keys=2)
-    live_s = jnp.sum(~bp.is_sentinel(s1, s2), axis=1)
-    live_e = jnp.sum(~bp.is_sentinel(e1, e2), axis=1)
-    maxl = jnp.maximum(jnp.max(live_s), jnp.max(live_e)).astype(jnp.int32)
-    return s1, s2, s3, e1, e2, e3, maxl
+                              num_keys=2, is_stable=False)
+    live = jnp.sum(~bp.is_sentinel(s1, s2), axis=1)
+    return s1, s2, s3, jnp.max(live).astype(jnp.int32)
 
 
-def _compact_levels(s, e):
-    """Shrink the masked triples while row-sorting keeps helping."""
+def _compact_levels(s):
+    """Shrink the masked triple while row-sorting keeps helping."""
     size = s[0].shape[0]
     while size > _GLOBAL_MAX and size % _ROWC == 0:
-        s1, s2, s3, e1, e2, e3, maxl_dev = _rowsort_level(*s, *e)
+        s1, s2, s3, maxl_dev = _rowsort_level(*s)
         m_cols = _pow2(int(maxl_dev))
         if m_cols >= _ROWC:          # dense rows: no further reduction
             flat = lambda a: a.reshape(size)
-            return (flat(s1), flat(s2), flat(s3)), (flat(e1), flat(e2),
-                                                    flat(e3))
+            return (flat(s1), flat(s2), flat(s3))
         take = lambda a: a[:, :m_cols].reshape(-1)
         s = (take(s1), take(s2), take(s3))
-        e = (take(e1), take(e2), take(e3))
         size = s[0].shape[0]
-    return s, e
+    return s
 
 
 @partial(jax.jit, static_argnames=("m",))
-def _finish_ones(s1, s2, si, e1, e2, ei, n_uni, m: int):
-    """Global compaction sorts + elementwise counts (run length)."""
-    s1, s2, si = jax.lax.sort((s1, s2, si), num_keys=2)
-    e1, e2, ei = jax.lax.sort((e1, e2, ei), num_keys=2)
+def _finish_starts(s1, s2, si, n_uni, n_live, m: int):
+    """Global compaction sort + elementwise counts (adjacent-index diff).
+
+    With starts fully compacted in ascending key order, run r spans
+    [si[r], si[r+1]) in the primary-sorted array; the last run ends at
+    n_live (sentinels sit beyond it).  Masked entries carry index n >=
+    n_live, so clipping the next-start index at n_live also closes the
+    final run."""
+    s1, s2, si = jax.lax.sort((s1, s2, si), num_keys=2, is_stable=False)
     valid = jnp.arange(m, dtype=jnp.int32) < n_uni
     cut = lambda a: jax.lax.slice_in_dim(a, 0, m)
     uh = jnp.where(valid, cut(s1), U32(bp.SENTINEL))
     ul = jnp.where(valid, cut(s2), U32(bp.SENTINEL))
-    runlen = cut(ei) - cut(si) + 1
+    si = cut(si)
+    nxt = jnp.concatenate([si[1:], jnp.full((1,), jnp.iinfo(jnp.int32).max,
+                                            jnp.int32)])
+    runlen = jnp.minimum(nxt, n_live) - si
     counts = jnp.where(valid, jnp.minimum(runlen, SATURATE),
                        0).astype(jnp.int32)
     return uh, ul, counts
@@ -324,21 +323,21 @@ def count_flat_hosted(hi, lo):
     hi, lo = _sort_pair(hi, lo)
     if n < _HOSTED_MIN or n % _ROWC:
         return _trim_table(_rle_compact_ones(hi, lo))
-    s, e, n_uni_dev = _mask_runs_ones(hi, lo)
+    s, n_uni_dev, n_live_dev = _mask_starts(hi, lo)
     n_uni = int(n_uni_dev)
     if n_uni * 8 >= n:
         # dense: a single compaction sort beats the hierarchy
         return _trim_table(_rle_compact_ones(hi, lo))
-    s, e = _compact_levels(s, e)
+    s = _compact_levels(s)
     m = _pow2(max(n_uni, 1))
     if m > s[0].shape[0]:
         padk = lambda a: jnp.concatenate(
             [a, jnp.full((m - a.shape[0],), bp.SENTINEL, a.dtype)])
         padi = lambda a: jnp.concatenate(
-            [a, jnp.zeros((m - a.shape[0],), a.dtype)])
+            [a, jnp.full((m - a.shape[0],), jnp.iinfo(jnp.int32).max,
+                         a.dtype)])
         s = (padk(s[0]), padk(s[1]), padi(s[2]))
-        e = (padk(e[0]), padk(e[1]), padi(e[2]))
-    return _finish_ones(*s, *e, n_uni_dev, m)
+    return _finish_starts(*s, n_uni_dev, n_live_dev, m)
 
 
 def merge_counted_hosted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):

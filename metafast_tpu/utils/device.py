@@ -28,20 +28,22 @@ def cpu_device():
         return None
 
 
+@jax.jit
+def _probe_one(x):
+    import jax.numpy as jnp
+    return jnp.sum(x.ravel()[-8:].astype(jnp.int32))
+
+
 def force_sync(*arrays) -> int:
     """Force full materialization of device arrays.
 
     jax.block_until_ready returns early on the tunneled axon backend
     (dispatch acknowledgement, not completion); fetching a scalar that
-    depends on the data is the reliable barrier.
+    depends on the data is the reliable barrier.  The probe jit lives at
+    module level: a per-call wrapper would retrace and re-load an
+    executable on every sync (~0.4s each on the tunneled backend).
     """
-    import jax.numpy as jnp
-
-    @jax.jit
-    def _probe(*xs):
-        return sum(jnp.sum(x.ravel()[-8:].astype(jnp.int32)) for x in xs)
-
-    return int(_probe(*arrays))
+    return sum(int(_probe_one(x)) for x in arrays)
 
 
 def small_scope(n_elements: int):
