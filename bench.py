@@ -30,6 +30,7 @@ Prints ONE JSON line.
 import ctypes
 import json
 import os
+import sys
 import tempfile
 import time
 
@@ -177,5 +178,58 @@ def _timed(f) -> float:
     return time.perf_counter() - t0
 
 
+def stress():
+    """CAMI-scale multi-sample pipeline on the default backend (config #2).
+
+    3 samples sharing a 1.5 Mbp backbone within 4 Mbp genomes at 12x
+    coverage (~38M k-mers each): full matrix pipeline (count -> contigs
+    -> components -> features -> Bray-Curtis).  Prints ONE JSON line.
+    """
+    import resource
+
+    from metafast_tpu.pipeline import matrix_pipeline
+
+    GEN, SHARE, COV = 4_000_000, 1_500_000, 12
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    backbone = bases[rng.integers(0, 4, SHARE)]
+    with tempfile.TemporaryDirectory() as td:
+        files = []
+        for s in range(3):
+            genome = np.concatenate(
+                [backbone, bases[rng.integers(0, 4, GEN - SHARE)]])
+            n_reads = GEN * COV // READ_LEN
+            starts = rng.integers(0, GEN - READ_LEN, n_reads)
+            reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
+            fp = os.path.join(td, f"stress_{s}.fa")
+            with open(fp, "wb") as fh:
+                for i in range(n_reads):
+                    fh.write(b">r%d\n" % i)
+                    fh.write(reads[i].tobytes())
+                    fh.write(b"\n")
+            files.append(fp)
+        n_kmers = 3 * (GEN * COV // READ_LEN) * (READ_LEN - K + 1)
+        t0 = time.perf_counter()
+        res = matrix_pipeline(files, k=K, b=1, l=100, b1=1000, b2=10000)
+        dt = time.perf_counter() - t0
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1048576
+    off = res.matrix[np.triu_indices(3, 1)]
+    print(json.dumps({
+        "metric": "cami_scale_matrix_pipeline_throughput",
+        "value": round(n_kmers / dt, 1),
+        "unit": "kmers/s",
+        "vs_baseline": None,
+        "wall_s": round(dt, 1),
+        "total_kmers": n_kmers,
+        "peak_host_rss_gb": round(peak_gb, 2),
+        "n_components": len(res.components),
+        "uniques_per_sample": [len(t[0]) for t in res.sample_tables],
+        "offdiag_distances": [round(float(x), 4) for x in off],
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--stress" in sys.argv:
+        stress()
+    else:
+        main()

@@ -9,6 +9,11 @@ forks; --separate restricts components to color-specific k-mers).
 
 Determinism spec: start k-mers are scanned in ascending canonical-key
 order (the reference iterates hash order).
+
+Scale envelope: neighbor lookups are precomputed vectorized; the BFS
+itself is host Python (~1-5 us/node), fine for the tool's niche scale
+(up to a few million k-mers in seconds).  Bulk component extraction goes
+through the device label propagation in graph/components.py.
 """
 
 from __future__ import annotations

@@ -18,6 +18,13 @@ Deviations from reference bugs (documented, not replicated):
     value* to the component weight (:169-175) and bumps n_pivot once per
     path k-mer (:182); we add the graph value and bump once per path.
 
+Scale envelope: neighbor tables are precomputed vectorized (one
+searchsorted over all 8 neighbor sets), so the per-node cost is pure
+queue-chasing Python (~1-5 us/node).  Graphs up to a few million k-mers
+traverse in seconds; this matches the tool's niche use (pivot sets are
+statistically filtered k-mers, not whole samples).  The bulk pipeline
+path (graph/components.py) is the device label-propagation instead.
+
 The neighbor tables are precomputed vectorized (8 canonical neighbors
 via numpy bit math + binary search), so the traversal itself is pure
 index chasing.

@@ -428,6 +428,52 @@ def _parallel_fetch(arrays):
         return list(ex.map(np.asarray, arrays))
 
 
+def _fetch_table(table) -> tuple[np.ndarray, np.ndarray]:
+    """Counted device table -> host (keys int64 ascending, counts int32).
+
+    Host transfers over a tunneled TPU run at tens of MB/s: slice the
+    fetch to a fine-grained bucket of the live count, ship counts as
+    int16 (the saturation bound fits), and pull the three arrays on
+    parallel streams.
+    """
+    hi, lo, cnt = table
+    n_live = int(jnp.sum(cnt > 0))
+    g = 1 << 20
+    m = _pow2(n_live) if n_live < g else -(-n_live // g) * g
+    m = min(hi.shape[0], m)
+    hi16 = jax.lax.slice_in_dim(hi, 0, m)
+    lo16 = jax.lax.slice_in_dim(lo, 0, m)
+    cnt16 = jax.lax.slice_in_dim(cnt, 0, m).astype(jnp.int16)
+    hi, lo, cnt = _parallel_fetch((hi16, lo16, cnt16))
+    cnt = cnt.astype(np.int32)          # saturation bound fits int16
+    live = cnt > 0
+    keys = ((hi[live].astype(np.uint64) << np.uint64(32))
+            | lo[live].astype(np.uint64)).astype(np.int64)
+    cnt = cnt[live]
+    # the device table is compacted in ascending (hi, lo) order, which
+    # int64 keys preserve for k <= 31 (keys < 2^62); the sort below is
+    # a guarded no-op kept for safety
+    if len(keys) > 1 and not np.all(keys[:-1] < keys[1:]):
+        order = np.argsort(keys)
+        keys, cnt = keys[order], cnt[order]
+    return keys, cnt
+
+
+def merge_host_tables(tables) -> tuple[np.ndarray, np.ndarray]:
+    """Saturating merge of host (keys, counts) tables (all sorted unique).
+
+    Matches the reference's addAndBound semantics (saturate at 32767,
+    itmo NumUtils.java:21-26); used when levels spill past the device
+    memory budget."""
+    allk = np.concatenate([t[0] for t in tables])
+    allc = np.concatenate([t[1] for t in tables]).astype(np.int64)
+    order = np.argsort(allk, kind="stable")
+    allk, allc = allk[order], allc[order]
+    uniq, start = np.unique(allk, return_index=True)
+    sums = np.add.reduceat(allc, start) if len(allk) else allc[:0]
+    return uniq, np.minimum(sums, SATURATE).astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Host-side accumulator
 # ---------------------------------------------------------------------------
@@ -450,12 +496,14 @@ class KmerCounter:
     """
 
     def __init__(self, k: int, capacity: int = 1 << 16,
-                 chunk: int = 1 << 27):
+                 chunk: int = 1 << 27, spill: int = 1 << 27):
         self.k = k
         self._levels: dict = {}     # pow2 size -> counted (hi, lo, cnt)
         self._pending: list = []    # raw (hi, lo) key arrays, uncounted
         self._pending_n = 0
         self._chunk = chunk         # raw keys per sort+RLE consolidation
+        self._spill = spill         # counted level size that moves to host
+        self._spilled: list = []    # host (keys int64, counts int32) tables
         self._total_host = 0
         self._total_dev: list = []  # deferred device scalars
 
@@ -564,7 +612,15 @@ class KmerCounter:
             other = self._levels.pop(size)
             table = merge_counted_hosted(*table, *other)
             size = table[0].shape[0]
-        self._levels[size] = table
+        if size >= self._spill:
+            # HBM-scale guard: merging two tables of size S transiently
+            # allocates ~70*S bytes (concat + sort buffers), so levels
+            # beyond `spill` move to host RAM; finish() folds them back
+            # with a streaming numpy merge.  On real hosts the fetch
+            # rides PCIe DMA; device memory stays bounded by 2*spill.
+            self._spilled.append(_fetch_table(table))
+        else:
+            self._levels[size] = table
 
     # -- results ----------------------------------------------------------
 
@@ -573,45 +629,37 @@ class KmerCounter:
 
         Unique keys sit compacted at the front in ascending order with a
         sentinel-padded tail; no host transfer happens beyond the trim
-        syncs.  Returns None when nothing was added.
+        syncs.  Returns None when nothing was added.  Raises when levels
+        spilled to host (table no longer fits the device budget): use
+        finish() there.
         """
-        self._consolidate_pending()
+        self._merge_levels()
+        if self._spilled:
+            raise RuntimeError(
+                "k-mer table exceeded the device spill threshold "
+                f"({self._spill} uniques); the merged result lives on "
+                "host — use finish()")
         if not self._levels:
             return None
+        ((_, table),) = self._levels.items()
+        return table
+
+    def _merge_levels(self) -> None:
+        self._consolidate_pending()
         while len(self._levels) > 1:
             sizes = sorted(self._levels)
             small = self._levels.pop(sizes[0])
             self._insert(_pad_to(small, sizes[1]))
-        ((_, table),) = self._levels.items()
-        return table
 
     def finish(self):
         """Return (keys int64 sorted ascending, counts int32) as numpy."""
-        table = self.finish_device()
-        if table is None:
+        self._merge_levels()
+        tables = [_fetch_table(t) for t in self._levels.values()]
+        self._levels = {}
+        tables += self._spilled
+        self._spilled = []
+        if not tables:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
-        hi, lo, cnt = table
-        # host transfers over a tunneled TPU run at tens of MB/s: slice
-        # the fetch to a fine-grained bucket of the live count, ship
-        # counts as int16 (saturation bound fits), and pull the three
-        # arrays on parallel streams
-        n_live = int(jnp.sum(cnt > 0))
-        g = 1 << 20
-        m = _pow2(n_live) if n_live < g else -(-n_live // g) * g
-        m = min(hi.shape[0], m)
-        hi16 = jax.lax.slice_in_dim(hi, 0, m)
-        lo16 = jax.lax.slice_in_dim(lo, 0, m)
-        cnt16 = jax.lax.slice_in_dim(cnt, 0, m).astype(jnp.int16)
-        hi, lo, cnt = _parallel_fetch((hi16, lo16, cnt16))
-        cnt = cnt.astype(np.int32)          # saturation bound fits int16
-        live = cnt > 0
-        keys = ((hi[live].astype(np.uint64) << np.uint64(32))
-                | lo[live].astype(np.uint64)).astype(np.int64)
-        cnt = cnt[live]
-        # the device table is compacted in ascending (hi, lo) order, which
-        # int64 keys preserve for k <= 31 (keys < 2^62); the sort below is
-        # a guarded no-op kept for safety
-        if len(keys) > 1 and not np.all(keys[:-1] < keys[1:]):
-            order = np.argsort(keys)
-            keys, cnt = keys[order], cnt[order]
-        return keys, cnt
+        if len(tables) == 1:
+            return tables[0]
+        return merge_host_tables(tables)

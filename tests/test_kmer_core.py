@@ -225,3 +225,41 @@ def test_hosted_saturation_large():
     fill = rng.integers(0, 1 << 40, n - 40000, dtype=np.int64)
     keys = np.concatenate([fill, np.full(40000, 1 << 50, dtype=np.int64)])
     _hosted_oracle_check(keys)
+
+
+def test_kmer_counter_spill_to_host():
+    """Levels past the spill threshold move to host RAM; results are
+    identical to the fully on-device path (HBM-scale guard)."""
+    import numpy as np
+    from metafast_tpu.ops.count import KmerCounter
+
+    rng = np.random.default_rng(3)
+    batches = []
+    for _ in range(6):
+        codes = rng.integers(0, 4, 40_000).astype(np.uint8)
+        lengths = np.full(400, 100, np.int32)
+        batches.append((codes, lengths))
+
+    def run(spill):
+        c = KmerCounter(11, chunk=1 << 14, spill=spill)
+        for codes, lengths in batches:
+            c.add_stream(codes, lengths)
+        return c.finish()
+
+    k_ref, c_ref = run(spill=1 << 30)      # never spills
+    k_sp, c_sp = run(spill=1 << 12)        # every consolidated level spills
+    np.testing.assert_array_equal(k_ref, k_sp)
+    np.testing.assert_array_equal(c_ref, c_sp)
+
+
+def test_kmer_counter_finish_device_raises_after_spill():
+    import numpy as np
+    import pytest
+    from metafast_tpu.ops.count import KmerCounter
+
+    rng = np.random.default_rng(4)
+    c = KmerCounter(11, chunk=1 << 12, spill=1 << 10)
+    codes = rng.integers(0, 4, 40_000).astype(np.uint8)
+    c.add_stream(codes, np.full(400, 100, np.int32))
+    with pytest.raises(RuntimeError, match="spill"):
+        c.finish_device()
