@@ -28,6 +28,11 @@ def join_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 # streaming ShardedKmerCounter.
 _default_mesh = None
 
+# codes per device slab (~128M): bounds the [16, 256, C] key planes the
+# stream kernel emits to ~1 GB while amortizing dispatch; module-level so
+# tests can shrink it to force the multi-slab pipeline
+SLAB_CODES = 1 << 27
+
 
 def set_default_mesh(mesh) -> None:
     global _default_mesh
@@ -45,75 +50,83 @@ def count_reads_files_sharded(files: list[str], k: int, mesh,
 
     Read streams are data-parallel over the mesh; the k-mer key space is
     hash-sharded across devices (the TPU-native form of the reference's
-    striped maps, itmo BigLong2ShortHashMap.java:40-70).  Retries with a
-    doubled exchange capacity if a shard bucket overflows.
+    striped maps, itmo BigLong2ShortHashMap.java:40-70).  Exchange
+    buckets are sized exactly per consolidation (parallel/count.py
+    _consolidate_stats), so shard overflow cannot occur.
     """
     from .ops.stream_extract import build_stream
-    from .parallel.count import ShardedKmerCounter, ShardOverflowError
+    from .parallel.count import ShardedKmerCounter
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    while True:
-        counter = ShardedKmerCounter(k, mesh, cap_factor=cap_factor)
-        n_reads = 0
-        n_skipped = 0
-        reads_done = 0
-        kmers_est = 0
-        slab_codes = 1 << 27
-        for path in files:
-            from .io import native_reads
-            parsed = native_reads.parse_file(path)
-            if parsed is None:
-                # rare formats fall back to the python reader, flattened
-                cs, ls = [], []
-                last = None
-                for batch in readsio.read_batches(path, min_len=min_len):
-                    for i, ln in enumerate(batch.lengths):
-                        cs.append(batch.codes[i, :ln])
-                    ls.append(batch.lengths)
-                    last = batch
-                codes = (np.concatenate(cs) if cs
-                         else np.zeros(0, np.uint8))
-                lengths = (np.concatenate(ls).astype(np.int32) if ls
-                           else np.zeros(0, np.int32))
-                if last is not None:
-                    n_reads += last.n_total
-                    n_skipped += last.n_skipped
+    counter = ShardedKmerCounter(k, mesh, cap_factor=cap_factor)
+    n_reads = 0
+    n_skipped = 0
+    reads_done = 0
+    kmers_est = 0
+    slab_codes = SLAB_CODES
+    for path in files:
+        from .io import native_reads
+        parsed = native_reads.parse_file(path)
+        if parsed is None:
+            # rare formats fall back to the python reader, flattened
+            cs, ls = [], []
+            last = None
+            for batch in readsio.read_batches(path, min_len=min_len):
+                for i, ln in enumerate(batch.lengths):
+                    cs.append(batch.codes[i, :ln])
+                ls.append(batch.lengths)
+                last = batch
+            codes = (np.concatenate(cs) if cs
+                     else np.zeros(0, np.uint8))
+            lengths = (np.concatenate(ls).astype(np.int32) if ls
+                       else np.zeros(0, np.int32))
+            if last is not None:
+                n_reads += last.n_total
+                n_skipped += last.n_skipped
+        else:
+            codes, lengths, skipped = parsed
+            total = len(lengths) + skipped
+            if min_len > 0 and len(lengths):
+                keep = lengths >= min_len
+                skipped += int((~keep).sum())
+                sel = np.repeat(keep, lengths)
+                codes, lengths = codes[sel], lengths[keep]
+            n_reads += total
+            n_skipped += skipped
+        offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+        lane_mult = n_dev * (128 if offs[-1] >= (1 << 22) else 8)
+        r0 = 0
+        while r0 < len(lengths):
+            r1 = int(np.searchsorted(offs, offs[r0] + slab_codes,
+                                     side="right")) - 1
+            r1 = min(max(r1, r0 + 1), len(lengths))
+            words, vmask, _ = build_stream(
+                codes[offs[r0]:offs[r1]], lengths[r0:r1], k,
+                lane_multiple=lane_mult)
+            if counter._multiproc:
+                # every process runs this loop in lockstep over the same
+                # (shared-storage) inputs and feeds its contiguous share
+                # of the slab; process 0 carries the k-mer accounting
+                # (finish() allgather-sums it)
+                import jax
+                share = words.shape[0] // jax.process_count()
+                p = jax.process_index()
+                sl = slice(p * share, (p + 1) * share)
+                acct = lengths[r0:r1] if p == 0 else lengths[:0]
+                counter.add_stream(words[sl], vmask[sl], acct)
             else:
-                codes, lengths, skipped = parsed
-                total = len(lengths) + skipped
-                if min_len > 0 and len(lengths):
-                    keep = lengths >= min_len
-                    skipped += int((~keep).sum())
-                    sel = np.repeat(keep, lengths)
-                    codes, lengths = codes[sel], lengths[keep]
-                n_reads += total
-                n_skipped += skipped
-            offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
-            lane_mult = n_dev * (128 if offs[-1] >= (1 << 22) else 8)
-            r0 = 0
-            while r0 < len(lengths):
-                r1 = int(np.searchsorted(offs, offs[r0] + slab_codes,
-                                         side="right")) - 1
-                r1 = min(max(r1, r0 + 1), len(lengths))
-                words, vmask, _ = build_stream(
-                    codes[offs[r0]:offs[r1]], lengths[r0:r1], k,
-                    lane_multiple=lane_mult)
                 counter.add_stream(words, vmask, lengths[r0:r1])
-                if progress is not None:
-                    reads_done += r1 - r0
-                    kmers_est += int(np.maximum(
-                        lengths[r0:r1].astype(np.int64) - (k - 1), 0).sum())
-                    progress(dict(path=path, reads=reads_done,
-                                  kmers=kmers_est))
-                r0 = r1
-        try:
-            keys, counts = counter.finish()
-        except ShardOverflowError:
-            cap_factor *= 2
-            continue
-        stats = dict(reads=n_reads, skipped=n_skipped,
-                     kmers_seen=counter.total_kmers_seen, unique=len(keys))
-        return keys, counts, stats
+            if progress is not None:
+                reads_done += r1 - r0
+                kmers_est += int(np.maximum(
+                    lengths[r0:r1].astype(np.int64) - (k - 1), 0).sum())
+                progress(dict(path=path, reads=reads_done,
+                              kmers=kmers_est))
+            r0 = r1
+    keys, counts = counter.finish()
+    stats = dict(reads=n_reads, skipped=n_skipped,
+                 kmers_seen=counter.total_kmers_seen, unique=len(keys))
+    return keys, counts, stats
 
 
 def count_reads_files(files: list[str], k: int, min_len: int = 0,
@@ -163,30 +176,65 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
     # small inputs run on the host CPU backend: TPU dispatch latency
     # dominates below ~4M k-mers (utils/device.py)
     with small_scope(total_bases if not py_files else 1 << 62):
-        # ~128M codes per device slab: bounds the [16, 256, C] key planes
-        # the stream kernel emits to ~1 GB while amortizing dispatch (each
-        # slab dispatch costs 10-100ms on a tunneled link)
-        slab_codes = 1 << 27
+        slab_codes = SLAB_CODES
         reads_done = 0
         kmers_est = 0
-        for path, codes, lengths in parsed_files:
-            offs = np.concatenate(
-                [[0], np.cumsum(lengths.astype(np.int64))])
-            r0 = 0
-            while r0 < len(lengths):
-                # largest r1 with offs[r1] - offs[r0] <= slab_codes
-                r1 = int(np.searchsorted(offs, offs[r0] + slab_codes,
-                                         side="right")) - 1
-                r1 = min(max(r1, r0 + 1), len(lengths))
-                counter.add_stream(codes[offs[r0]:offs[r1]],
-                                   lengths[r0:r1])
-                if progress is not None:
-                    reads_done += r1 - r0
-                    kmers_est += int(np.maximum(
-                        lengths[r0:r1].astype(np.int64) - (k - 1), 0).sum())
-                    progress(dict(path=path, reads=reads_done,
-                                  kmers=kmers_est))
-                r0 = r1
+        # double-buffered host pipeline: a background thread packs and
+        # uploads slab i+1 (build_stream C++ + device_put) while the
+        # device counts slab i — the TPU-native analog of the reference's
+        # dispatcher/worker read pool (src/io/ReadsDispatcher.java:34-54)
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        from .ops.stream_extract import build_stream
+        from .utils.device import SMALL_ELEMENTS, cpu_device
+
+        # the worker thread does not inherit the small_scope default-
+        # device override (it is thread-local), so the target device is
+        # resolved here and passed explicitly
+        small = (total_bases if not py_files else 1 << 62) < SMALL_ELEMENTS
+        put_dev = cpu_device() if small else None
+
+        def _prepare(codes_s, lengths_s):
+            words, vmask, _ = build_stream(codes_s, lengths_s, k)
+            wd = jax.device_put(words, put_dev)
+            vd = jax.device_put(vmask, put_dev)
+            return wd, vd, lengths_s
+
+        def _slabs():
+            for path, codes, lengths in parsed_files:
+                offs = np.concatenate(
+                    [[0], np.cumsum(lengths.astype(np.int64))])
+                r0 = 0
+                while r0 < len(lengths):
+                    # largest r1 with offs[r1] - offs[r0] <= slab_codes
+                    r1 = int(np.searchsorted(offs, offs[r0] + slab_codes,
+                                             side="right")) - 1
+                    r1 = min(max(r1, r0 + 1), len(lengths))
+                    yield path, codes[offs[r0]:offs[r1]], lengths[r0:r1]
+                    r0 = r1
+
+        def _consume(fut, path):
+            nonlocal reads_done, kmers_est
+            wd, vd, ls = fut.result()
+            counter.add_stream_device(wd, vd, ls)
+            if progress is not None:
+                reads_done += len(ls)
+                kmers_est += int(np.maximum(
+                    ls.astype(np.int64) - (k - 1), 0).sum())
+                progress(dict(path=path, reads=reads_done,
+                              kmers=kmers_est))
+
+        with ThreadPoolExecutor(1) as pool:
+            pending = None
+            for path, codes_s, lengths_s in _slabs():
+                fut = pool.submit(_prepare, codes_s, lengths_s)
+                if pending is not None:
+                    _consume(*pending)
+                pending = (fut, path)
+            if pending is not None:
+                _consume(*pending)
         for path in py_files:
             last = None
             for batch in readsio.read_batches(path, batch_reads=batch_reads,

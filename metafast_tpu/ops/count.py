@@ -244,6 +244,7 @@ def _rle_compact(hi, lo, weights):
 _ROWC = 1024
 _HOSTED_MIN = 1 << 20
 _GLOBAL_MAX = 1 << 22
+_OPT_COLS = 128    # optimistic level-1 slice width (see count_flat_hosted)
 
 
 @jax.jit
@@ -294,16 +295,35 @@ def _compact_levels(s):
     return s
 
 
-@partial(jax.jit, static_argnames=("m",))
-def _finish_starts(s1, s2, si, n_uni, n_live, m: int):
-    """Global compaction sort + elementwise counts (adjacent-index diff).
+@jax.jit
+def _starts_rowsorted(hi, lo):
+    """Fused mask-starts + level-1 rowsort + stacked stats.
 
-    With starts fully compacted in ascending key order, run r spans
-    [si[r], si[r+1]) in the primary-sorted array; the last run ends at
-    n_live (sentinels sit beyond it).  Masked entries carry index n >=
-    n_live, so clipping the next-start index at n_live also closes the
-    final run."""
-    s1, s2, si = jax.lax.sort((s1, s2, si), num_keys=2, is_stable=False)
+    One dispatch replaces _mask_starts followed by _rowsort_level; the
+    stats vector [n_uni, n_live, max_row_occupancy] lets the host sync
+    ONCE per chunk instead of once per hierarchy level (each device->host
+    scalar fetch costs a full round trip on a tunneled TPU link).
+    """
+    s, n_uni, n_live = _mask_starts(hi, lo)
+    t1, t2, t3, maxl = _rowsort_level(*s)
+    return t1, t2, t3, jnp.stack([n_uni, n_live, maxl])
+
+
+@partial(jax.jit, static_argnames=("m_cols",))
+def _slice_flatten(t1, t2, t3, m_cols: int):
+    take = lambda a: a[:, :m_cols].reshape(-1)
+    return take(t1), take(t2), take(t3)
+
+
+@jax.jit
+def _sort_starts(s1, s2, si):
+    return jax.lax.sort((s1, s2, si), num_keys=2, is_stable=False)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _counts_from_sorted_starts(s1, s2, si, stats, m: int):
+    """_finish_starts on an ALREADY globally sorted start triple."""
+    n_uni, n_live = stats[0], stats[1]
     valid = jnp.arange(m, dtype=jnp.int32) < n_uni
     cut = lambda a: jax.lax.slice_in_dim(a, 0, m)
     uh = jnp.where(valid, cut(s1), U32(bp.SENTINEL))
@@ -318,18 +338,33 @@ def _finish_starts(s1, s2, si, n_uni, n_live, m: int):
 
 
 def count_flat_hosted(hi, lo):
-    """count_flat + trim-to-pow2(uniques), host-orchestrated."""
+    """count_flat + trim-to-pow2(uniques), host-orchestrated.
+
+    Dispatch discipline: the level-1 rowsort, the optimistic slice to
+    _OPT_COLS columns, and the global start sort are all enqueued BEFORE
+    the single stats fetch, so the device pipeline never idles on the
+    host round trip.  The optimistic slice is validated against the
+    fetched max row occupancy; the rare miss (a nearly-duplicate-free
+    chunk) falls back to the exact hierarchy.
+    """
     n = hi.shape[0]
     hi, lo = _sort_pair(hi, lo)
     if n < _HOSTED_MIN or n % _ROWC:
         return _trim_table(_rle_compact_ones(hi, lo))
-    s, n_uni_dev, n_live_dev = _mask_starts(hi, lo)
-    n_uni = int(n_uni_dev)
+    t1, t2, t3, stats_dev = _starts_rowsorted(hi, lo)
+    # optimistic: assume occupancy <= _OPT_COLS, sort the sliced starts
+    # now (async); validated against the fetched stats below
+    opt = _sort_starts(*_slice_flatten(t1, t2, t3, _OPT_COLS))
+    stats = np.asarray(stats_dev)              # the one host round trip
+    n_uni, maxl = int(stats[0]), int(stats[2])
     if n_uni * 8 >= n:
         # dense: a single compaction sort beats the hierarchy
         return _trim_table(_rle_compact_ones(hi, lo))
-    s = _compact_levels(s)
     m = _pow2(max(n_uni, 1))
+    if maxl <= _OPT_COLS and m <= opt[0].shape[0]:
+        return _counts_from_sorted_starts(*opt, stats_dev, m)
+    # exact path: shrink levels while row-sorting keeps helping
+    s = _compact_levels_from(t1, t2, t3, maxl)
     if m > s[0].shape[0]:
         padk = lambda a: jnp.concatenate(
             [a, jnp.full((m - a.shape[0],), bp.SENTINEL, a.dtype)])
@@ -337,7 +372,18 @@ def count_flat_hosted(hi, lo):
             [a, jnp.full((m - a.shape[0],), jnp.iinfo(jnp.int32).max,
                          a.dtype)])
         s = (padk(s[0]), padk(s[1]), padi(s[2]))
-    return _finish_starts(*s, n_uni_dev, n_live_dev, m)
+    return _counts_from_sorted_starts(*_sort_starts(*s), stats_dev, m)
+
+
+def _compact_levels_from(t1, t2, t3, maxl: int):
+    """_compact_levels starting from already-rowsorted level-1 tiles."""
+    size = t1.shape[0] * t1.shape[1]
+    m_cols = _pow2(int(maxl))
+    if m_cols >= _ROWC:
+        flat = lambda a: a.reshape(size)
+        return (flat(t1), flat(t2), flat(t3))
+    s = _slice_flatten(t1, t2, t3, m_cols)
+    return _compact_levels(s)
 
 
 def merge_counted_hosted(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
@@ -377,16 +423,18 @@ def _bucket_size(n: int) -> int:
 
 
 def _bucket_size_fine(n: int) -> int:
-    """Smallest s >= n on an 8-per-octave grid (16 above 2^26): <= 12.5%
-    (6.25%) padding.
+    """Smallest s >= n on an 8-per-octave grid (32 above 2^26): <= 12.5%
+    (3.1%) padding.
 
     Used for the big consolidation sorts, where a pow2 bucket's padding
     is sorted at full cost; a bounded signature count per octave keeps
-    compiles rare (and they persist in the compilation cache)."""
+    compiles rare (and they persist in the compilation cache).  The top
+    octaves get the finest grid because that is where padding costs real
+    sort time (~4ms per padded percent at 2^27 on v5e)."""
     if n < (1 << 20):
         return _bucket_size(n)
     p = _pow2(n)
-    step = p // (16 if n >= (1 << 26) else 8)
+    step = p // (32 if n >= (1 << 26) else 8)
     return -(-n // step) * step
 
 
@@ -478,6 +526,10 @@ def merge_host_tables(tables) -> tuple[np.ndarray, np.ndarray]:
 # Host-side accumulator
 # ---------------------------------------------------------------------------
 
+class SpilledError(RuntimeError):
+    """finish_device() was called but levels already spilled to host."""
+
+
 class KmerCounter:
     """Streaming canonical k-mer counter over read batches.
 
@@ -496,14 +548,19 @@ class KmerCounter:
     """
 
     def __init__(self, k: int, capacity: int = 1 << 16,
-                 chunk: int = 1 << 27, spill: int = 1 << 27):
+                 chunk: int = 1 << 27, spill: int | None = 1 << 27):
         self.k = k
         self._levels: dict = {}     # pow2 size -> counted (hi, lo, cnt)
         self._pending: list = []    # raw (hi, lo) key arrays, uncounted
         self._pending_n = 0
         self._chunk = chunk         # raw keys per sort+RLE consolidation
-        self._spill = spill         # counted level size that moves to host
+        # counted level TABLE SIZE (pow2-padded slots) that moves to host
+        # RAM; None disables spilling for callers that need finish_device
+        # on arbitrarily large inputs and accept the HBM risk
+        self._spill = spill
         self._spilled: list = []    # host (keys int64, counts int32) tables
+        self._spill_futures: list = []   # in-flight background fetches
+        self._spill_pool = None
         self._total_host = 0
         self._total_dev: list = []  # deferred device scalars
 
@@ -570,8 +627,26 @@ class KmerCounter:
         # and device copies are not free)
         self._pending.append((hi, lo))
         self._pending_n += hi.shape[0]
-        if self._pending_n >= self._chunk:
+        # consolidate at EXACTLY `chunk` keys: the tail of the batch that
+        # crosses the boundary carries over, so every mid-stream sort runs
+        # at one padding-free shape signature (only the final flush pads)
+        while self._pending_n >= self._chunk:
+            over = self._pending_n - self._chunk
+            rest = None
+            if over:
+                bhi, blo = self._pending.pop()
+                cut = bhi.shape[0] - over
+                if cut > 0:
+                    self._pending.append(
+                        (jax.lax.slice_in_dim(bhi, 0, cut),
+                         jax.lax.slice_in_dim(blo, 0, cut)))
+                rest = (jax.lax.slice_in_dim(bhi, cut, bhi.shape[0]),
+                        jax.lax.slice_in_dim(blo, cut, blo.shape[0]))
+                self._pending_n -= rest[0].shape[0]
             self._consolidate_pending()
+            if rest is not None:
+                self._pending.append(rest)
+                self._pending_n = rest[0].shape[0]
 
     def _consolidate_pending(self) -> None:
         if not self._pending:
@@ -612,13 +687,21 @@ class KmerCounter:
             other = self._levels.pop(size)
             table = merge_counted_hosted(*table, *other)
             size = table[0].shape[0]
-        if size >= self._spill:
+        if self._spill is not None and size >= self._spill:
             # HBM-scale guard: merging two tables of size S transiently
             # allocates ~70*S bytes (concat + sort buffers), so levels
-            # beyond `spill` move to host RAM; finish() folds them back
-            # with a streaming numpy merge.  On real hosts the fetch
+            # beyond `spill` slots move to host RAM; finish() folds them
+            # back with a streaming numpy merge.  On real hosts the fetch
             # rides PCIe DMA; device memory stays bounded by 2*spill.
-            self._spilled.append(_fetch_table(table))
+            # The fetch runs on a background thread so the streaming add
+            # loop stays asynchronous (the device table is dropped when
+            # the transfer completes).
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._spill_pool is None:
+                self._spill_pool = ThreadPoolExecutor(1)
+            self._spill_futures.append(
+                self._spill_pool.submit(_fetch_table, table))
         else:
             self._levels[size] = table
 
@@ -629,16 +712,18 @@ class KmerCounter:
 
         Unique keys sit compacted at the front in ascending order with a
         sentinel-padded tail; no host transfer happens beyond the trim
-        syncs.  Returns None when nothing was added.  Raises when levels
-        spilled to host (table no longer fits the device budget): use
-        finish() there.
+        syncs.  Returns None when nothing was added.  Raises SpilledError
+        when levels spilled to host (table no longer fits the device
+        budget): use finish() there, or construct with spill=None to keep
+        everything on device.
         """
         self._merge_levels()
-        if self._spilled:
-            raise RuntimeError(
+        if self._spilled or self._spill_futures:
+            raise SpilledError(
                 "k-mer table exceeded the device spill threshold "
-                f"({self._spill} uniques); the merged result lives on "
-                "host — use finish()")
+                f"({self._spill} table slots); the merged result lives "
+                "on host — use finish(), or pass spill=None to keep the "
+                "table on device")
         if not self._levels:
             return None
         ((_, table),) = self._levels.items()
@@ -657,7 +742,9 @@ class KmerCounter:
         tables = [_fetch_table(t) for t in self._levels.values()]
         self._levels = {}
         tables += self._spilled
+        tables += [f.result() for f in self._spill_futures]
         self._spilled = []
+        self._spill_futures = []
         if not tables:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
         if len(tables) == 1:

@@ -16,10 +16,15 @@ Identical keys always hash to the same shard, so per-shard tables are
 complete and globally disjoint: no cross-device reduction is needed after
 the all-to-all, and saturating adds stay order-independent.
 
-All shapes are static: per-shard send buckets have a fixed capacity and
-overflow k-mers are dropped (counted and reported so callers can re-run
-with a bigger capacity; with the mixing hash below, a 2x headroom over
-the uniform share makes drops vanishingly unlikely).
+All shapes are static.  The single-batch `sharded_count` uses a fixed
+send-bucket capacity and reports dropped k-mers; the streaming
+`ShardedKmerCounter` sizes its exchange buckets EXACTLY per consolidation
+(one fused stats sync), so its exchange can never drop entries.
+
+The mesh may span multiple processes (jax.distributed over DCN): every
+process feeds its local share of each slab in lockstep and finish()
+allgathers the per-process shard tables — the cross-host form of the
+reference's striped-map key-space scaling (src/io/IOUtils.java:775-776).
 """
 
 from __future__ import annotations
@@ -176,18 +181,21 @@ def gather_counts(hi, lo, counts) -> tuple[np.ndarray, np.ndarray]:
 # (1/n of the unique key space), which is what makes CAMI-scale single
 # samples fit (SURVEY "HBM-scale tables").
 
-from ..ops.count import (SATURATE, _bucket_size_fine, _pow2,
+from ..ops.count import (SATURATE, _bucket_size, _bucket_size_fine, _pow2,
                          _rle_compact_weighted, _sort_triple, count_flat,
                          merge_counted)
 
 
 class ShardOverflowError(RuntimeError):
-    """A shard-exchange bucket overflowed; re-run with a larger cap_factor."""
+    """A shard exchange dropped entries.
+
+    With exact per-consolidation bucket sizing this is unreachable by
+    construction; it survives as an invariant check."""
 
     def __init__(self, dropped: int):
         super().__init__(
-            f"shard exchange dropped {dropped} k-mer table entries; "
-            "re-run with a larger cap_factor")
+            f"shard exchange dropped {dropped} k-mer table entries "
+            "(internal invariant violated)")
         self.dropped = dropped
 
 
@@ -256,6 +264,23 @@ def _sharded_count_flat(hi, lo, *, mesh: Mesh):
                          out_specs=(P(AXIS),) * 3)(hi, lo)
 
 
+@partial(jax.jit, static_argnames=("n_shards",))
+def _consolidate_stats(hi, lo, cnt, n_shards: int):
+    """[max live per device, max (device, shard) bucket occupancy].
+
+    One fused dispatch so the host syncs a single [2] vector per
+    consolidation: the first drives the level trim, the second sizes the
+    exchange buckets EXACTLY (no drops, no overflow retries).
+    """
+    live = cnt > 0
+    max_live = jnp.max(jnp.sum(live, axis=1))
+    shard = jnp.where(live, hash_shard(hi, lo, n_shards), n_shards)
+    occ = jnp.stack([jnp.sum(shard == s, axis=1)
+                     for s in range(n_shards)])
+    return jnp.stack([max_live.astype(jnp.int32),
+                      jnp.max(occ).astype(jnp.int32)])
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def _sharded_merge_counted(ha, la, ca, hb, lb, cb, *, mesh: Mesh):
     return jax.shard_map(_wrap1(merge_counted), mesh=mesh,
@@ -290,7 +315,11 @@ def _trim_sharded(table, n_dev: int):
     """Slice a [n, m] counted table to pow2(max live across devices)."""
     hi, lo, cnt = table
     live = int(jnp.max(jnp.sum(cnt > 0, axis=1)))
-    m = _pow2(max(live, 1))
+    return _trim_to(table, _pow2(max(live, 1)))
+
+
+def _trim_to(table, m: int):
+    hi, lo, cnt = table
     if m >= hi.shape[1]:
         return table
     return (jax.lax.slice_in_dim(hi, 0, m, axis=1),
@@ -298,32 +327,82 @@ def _trim_sharded(table, n_dev: int):
             jax.lax.slice_in_dim(cnt, 0, m, axis=1))
 
 
-def _pad_sharded(table, size: int):
+def _pad_sharded(table, size: int, filler=None):
     hi, lo, cnt = table
     n, m = hi.shape
     if m == size:
         return table
     pad = size - m
-    return (jnp.concatenate(
-                [hi, jnp.full((n, pad), bp.SENTINEL, dtype=U32)], axis=1),
-            jnp.concatenate(
-                [lo, jnp.full((n, pad), bp.SENTINEL, dtype=U32)], axis=1),
-            jnp.concatenate(
-                [cnt, jnp.zeros((n, pad), dtype=jnp.int32)], axis=1))
+    mk = filler if filler is not None else (
+        lambda cols, fill, dtype: jnp.full((n, cols), fill, dtype))
+    return (jnp.concatenate([hi, mk(pad, bp.SENTINEL, U32)], axis=1),
+            jnp.concatenate([lo, mk(pad, bp.SENTINEL, U32)], axis=1),
+            jnp.concatenate([cnt, mk(pad, 0, jnp.int32)], axis=1))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _sharded_full(rows: int, cols: int, fill: int, dtype: str, mesh: Mesh):
+    """Cached jitted constructor of a row-sharded [rows, cols] constant
+    (valid on multi-process meshes, where plain jnp.full is local-only)."""
+    sh = jax.NamedSharding(mesh, P(AXIS))
+    return jax.jit(lambda: jnp.full((rows, cols), fill, jnp.dtype(dtype)),
+                   out_shardings=sh)
+
+
+def _allgather_table(keys: np.ndarray, cnt: np.ndarray):
+    """Union of per-process (keys, counts) tables over DCN.
+
+    Shards are disjoint hash ranges, so the union is exact; padding to
+    the max per-process length keeps process_allgather shapes equal.
+    64-bit keys travel as uint32 pairs — with x64 disabled, JAX silently
+    narrows int64 arrays to int32, which would corrupt key high words."""
+    from jax.experimental import multihost_utils
+
+    lens = multihost_utils.process_allgather(
+        np.array([len(keys)], np.int32))
+    m = int(lens.max())
+    pk = np.zeros(m, np.int64)
+    pc = np.zeros(m, np.int32)
+    pk[:len(keys)] = keys
+    pc[:len(keys)] = cnt
+    allk = multihost_utils.process_allgather(
+        np.ascontiguousarray(pk).view(np.uint32))
+    allc = multihost_utils.process_allgather(pc)
+    lens = lens.reshape(-1)
+    keys = np.concatenate([
+        np.ascontiguousarray(allk[i]).view(np.int64)[:lens[i]]
+        for i in range(len(lens))])
+    cnt = np.concatenate([allc[i][:lens[i]] for i in range(len(lens))])
+    order = np.argsort(keys)
+    return keys[order], cnt[order]
+
+
+def _allgather_sum(x: int) -> int:
+    from jax.experimental import multihost_utils
+
+    # x64-safe: ship the 64-bit value as two uint32 halves
+    halves = multihost_utils.process_allgather(np.array(
+        [(x >> 32) & 0xFFFFFFFF, x & 0xFFFFFFFF], np.uint32))
+    return sum((int(h[0]) << 32) | int(h[1]) for h in np.asarray(halves))
 
 
 class ShardedKmerCounter:
     """Streaming canonical k-mer counter over a device mesh.
 
     The multi-chip equivalent of ops.count.KmerCounter (same binary-
-    counter level discipline, same saturating semantics); see the module
-    comment above for the communication plan.  Feed it column streams
-    built by ops.stream_extract.build_stream with
-    lane_multiple = 128 * mesh size.
+    counter level discipline, same saturating semantics, same host-spill
+    guard); see the module comment above for the communication plan.
+    Feed it column streams built by ops.stream_extract.build_stream with
+    lane_multiple = 128 * mesh size (the local share on multi-process
+    meshes).  `cap_factor` is accepted for backward compatibility and
+    ignored — exchange buckets are sized exactly.
     """
 
     def __init__(self, k: int, mesh: Mesh, chunk: int = 1 << 27,
-                 cap_factor: float = 2.0):
+                 cap_factor: float = 2.0, spill: int | None = 1 << 27):
         self.k = k
         self.mesh = mesh
         self.n = mesh.shape[AXIS]
@@ -333,20 +412,50 @@ class ShardedKmerCounter:
         self._pending_n = 0                 # per-device slot count
         self._levels: dict = {}             # size -> [n, size] tables
         self._dropped: list = []            # deferred device scalars
+        # per-device counted level width (slots) beyond which the level
+        # moves to host RAM (mirrors ops.count.KmerCounter._spill); None
+        # disables spilling
+        self._spill = spill
+        self._spilled: list = []            # host (keys, counts) tables
         self._total_host = 0
         self._sharding = jax.NamedSharding(mesh, P(AXIS))
+        # does the mesh span multiple processes (cross-host DCN case)?
+        self._multiproc = jax.process_count() > 1 and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat)
 
     @property
     def total_kmers_seen(self) -> int:
         return self._total_host
 
     def add_stream(self, words, vmask, lengths) -> None:
-        """words/vmask: [C_total, ROWS] u32 with C_total % (n*128) == 0
-        (host or device arrays); lengths: host int32 (for accounting)."""
+        """Feed one column-stream slab.
+
+        Single-process mesh: words/vmask are the GLOBAL [C_total, ROWS]
+        u32 arrays with C_total % (n*128) == 0.
+
+        Multi-process mesh (jax.distributed): every process calls
+        add_stream in lockstep with its LOCAL share [C_total/P, ROWS]
+        (equal on every process; the global array is assembled with
+        jax.make_array_from_process_local_data).  `lengths` is whatever
+        read set this process accounts for — pass the global slab
+        lengths on process 0 and empty arrays elsewhere, or per-host
+        lengths; finish() sums accounting over processes.
+        """
         self._total_host += int(np.maximum(
             np.asarray(lengths).astype(np.int64) - self.k + 1, 0).sum())
-        words = jax.device_put(words, self._sharding)
-        vmask = jax.device_put(vmask, self._sharding)
+        if self._multiproc:
+            nproc = jax.process_count()
+            words = np.asarray(words)
+            vmask = np.asarray(vmask)
+            gshape = (words.shape[0] * nproc, words.shape[1])
+            words = jax.make_array_from_process_local_data(
+                self._sharding, words, gshape)
+            vmask = jax.make_array_from_process_local_data(
+                self._sharding, vmask, gshape)
+        else:
+            words = jax.device_put(words, self._sharding)
+            vmask = jax.device_put(vmask, self._sharding)
         use_pallas = self.mesh.devices.flat[0].platform in ("tpu", "axon")
         hi, lo = _sharded_stream_extract(words, vmask, k=self.k,
                                          mesh=self.mesh,
@@ -356,6 +465,12 @@ class ShardedKmerCounter:
         if self._pending_n >= self._chunk:
             self._consolidate()
 
+    def _full(self, cols: int, fill, dtype):
+        """A [n, cols] constant with the mesh's row sharding (works on
+        multi-process meshes, where plain jnp.full would be local)."""
+        return _sharded_full(self.n, cols, int(fill), np.dtype(dtype).name,
+                             self.mesh)()
+
     def _consolidate(self) -> None:
         if not self._pending:
             return
@@ -364,18 +479,20 @@ class ShardedKmerCounter:
         los = [p[1] for p in self._pending]
         if size > self._pending_n:
             pad = size - self._pending_n
-            his.append(jnp.full((self.n, pad), bp.SENTINEL, U32))
-            los.append(jnp.full((self.n, pad), bp.SENTINEL, U32))
+            his.append(self._full(pad, bp.SENTINEL, U32))
+            los.append(self._full(pad, bp.SENTINEL, U32))
         hi = jnp.concatenate(his, axis=1)
         lo = jnp.concatenate(los, axis=1)
         self._pending = []
         self._pending_n = 0
         table = _sharded_count_flat(hi, lo, mesh=self.mesh)
-        table = _trim_sharded(table, self.n)
-        # exchange onto hash shards: cap sized for the worst device's
-        # local uniques with headroom (hash mixing evens the buckets)
-        m = table[0].shape[1]
-        cap = max(16, int(m / self.n * self._cap_factor))
+        # ONE host sync per consolidation sizes both the trim and the
+        # exchange buckets exactly — no bucket can overflow, so the
+        # cap_factor retry loop of earlier rounds is structurally dead
+        stats = np.asarray(_consolidate_stats(*table, self.n))
+        max_live, max_bucket = int(stats[0]), int(stats[1])
+        table = _trim_to(table, _pow2(max(max_live, 1)))
+        cap = max(16, _bucket_size(max_bucket))
         h, l, c, dropped = _sharded_exchange(*table, mesh=self.mesh,
                                              cap=cap)
         self._dropped.append(dropped)
@@ -388,29 +505,71 @@ class ShardedKmerCounter:
             table = _sharded_merge_counted(*table, *other, mesh=self.mesh)
             table = _trim_sharded(table, self.n)
             size = table[0].shape[1]
-        self._levels[size] = table
+        if self._spill is not None and size >= self._spill:
+            # HBM guard: levels past `spill` per-device slots move to
+            # host RAM (each process keeps its own shards); finish()
+            # folds them back with the streaming numpy merge
+            self._spilled.append(self._fetch_local(table))
+        else:
+            self._levels[size] = table
+
+    def _fetch_local(self, table):
+        """Device table -> host (keys int64, counts int32), this
+        process's shards only (all shards on a single-process mesh)."""
+        hi, lo, cnt = table
+        if self._multiproc:
+            # order shards by their global row so hi/lo/cnt stay paired
+            cat = lambda a: np.concatenate(
+                [np.asarray(s.data).reshape(-1)
+                 for s in sorted(a.addressable_shards,
+                                 key=lambda s: s.index[0].start or 0)])
+            hi, lo, cnt = cat(hi), cat(lo), cat(cnt)
+        else:
+            hi = np.asarray(hi).reshape(-1)
+            lo = np.asarray(lo).reshape(-1)
+            cnt = np.asarray(cnt).reshape(-1)
+        keep = cnt > 0
+        keys = ((hi[keep].astype(np.uint64) << np.uint64(32))
+                | lo[keep].astype(np.uint64)).astype(np.int64)
+        return keys, cnt[keep].astype(np.int32)
 
     def finish(self):
         """(keys int64 sorted ascending, counts int32) on the host.
 
-        Raises ShardOverflowError if any exchange bucket overflowed
-        (increase cap_factor and re-run)."""
+        On a multi-process mesh every process returns the same complete
+        table (per-process shards are allgathered over DCN).  Raises
+        ShardOverflowError only if an exchange dropped entries, which the
+        exact bucket sizing in _consolidate rules out by construction —
+        the check is a cheap invariant, not a control path."""
         self._consolidate()
-        dropped = sum(int(np.asarray(d).sum()) for d in self._dropped)
+        dropped = sum(int(jnp.sum(jnp.asarray(d))) for d in self._dropped)
         if dropped:
             raise ShardOverflowError(dropped)
-        if not self._levels:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
         while len(self._levels) > 1:
             sizes = sorted(self._levels)
             small = self._levels.pop(sizes[0])
-            self._insert(_pad_sharded(small, sizes[1]))
-        ((_, (hi, lo, cnt)),) = self._levels.items()
-        hi = np.asarray(hi).reshape(-1).astype(np.uint64)
-        lo = np.asarray(lo).reshape(-1).astype(np.uint64)
-        cnt = np.asarray(cnt).reshape(-1)
-        keep = cnt > 0
-        keys = ((hi[keep] << np.uint64(32)) | lo[keep]).astype(np.int64)
-        cnt = cnt[keep].astype(np.int32)
-        order = np.argsort(keys)        # shards are disjoint hash ranges
-        return keys[order], cnt[order]
+            self._insert(_pad_sharded(small, sizes[1],
+                                      filler=self._full))
+        tables = list(self._spilled)
+        self._spilled = []
+        if self._levels:
+            ((_, table),) = self._levels.items()
+            self._levels = {}
+            tables.append(self._fetch_local(table))
+        if not tables:
+            keys = np.empty(0, dtype=np.int64)
+            cnt = np.empty(0, dtype=np.int32)
+        elif len(tables) == 1:
+            keys, cnt = tables[0]
+            order = np.argsort(keys)    # shards are disjoint hash ranges
+            keys, cnt = keys[order], cnt[order]
+        else:
+            from ..ops.count import merge_host_tables
+            # spilled levels + the final level may share keys within this
+            # process's shards; counts saturate on merge (reference
+            # parity, itmo NumUtils.java:21-26)
+            keys, cnt = merge_host_tables(tables)
+        if self._multiproc:
+            keys, cnt = _allgather_table(keys, cnt)
+            self._total_host = int(_allgather_sum(self._total_host))
+        return keys, cnt

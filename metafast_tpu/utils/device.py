@@ -22,8 +22,11 @@ SMALL_ELEMENTS = 1 << 22
 
 
 def cpu_device():
+    # local_devices, not devices: under jax.distributed the global list
+    # starts with process 0's devices, which other processes cannot
+    # address — committing work there poisons downstream fetches
     try:
-        return jax.devices("cpu")[0]
+        return jax.local_devices(backend="cpu")[0]
     except Exception:
         return None
 
@@ -42,8 +45,11 @@ def force_sync(*arrays) -> int:
     depends on the data is the reliable barrier.  The probe jit lives at
     module level: a per-call wrapper would retrace and re-load an
     executable on every sync (~0.4s each on the tunneled backend).
+    All probes are dispatched before any is fetched, so N arrays cost
+    one round-trip latency, not N.
     """
-    return sum(int(_probe_one(x)) for x in arrays)
+    probes = [_probe_one(x) for x in arrays]
+    return sum(int(p) for p in probes)
 
 
 def small_scope(n_elements: int):

@@ -63,6 +63,60 @@ multihost_utils.sync_global_devices("done")
 """
 
 
+SHARDED_WORKER = r"""
+import json, os, sys
+import numpy as np
+
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=4").strip()
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1]); coord = sys.argv[2]; out = sys.argv[3]
+files = sys.argv[4:]
+
+from metafast_tpu.parallel import distributed as dist
+dist.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+
+# cross-host k-mer sharding: one global 8-device mesh spanning both
+# processes; each process streams its local share of every slab and the
+# consolidation all-to-all crosses the process boundary (DCN)
+mesh = dist.global_mesh()
+from metafast_tpu import api
+
+k = 21
+results = {}
+for f in files:
+    keys, counts, stats = api.count_reads_files_sharded([f], k, mesh)
+    results[f] = dict(n=len(keys), total=int(counts.sum()),
+                      kmers_seen=stats["kmers_seen"],
+                      keys_head=[int(x) for x in keys[:5]],
+                      counts_head=[int(x) for x in counts[:5]])
+    import hashlib
+    results[f]["digest"] = hashlib.sha256(
+        keys.tobytes() + counts.astype(np.int32).tobytes()).hexdigest()
+
+# full golden pipeline through the multi-process sharded counter
+from metafast_tpu.pipeline.matrix import matrix_pipeline
+api.set_default_mesh(mesh)
+try:
+    res = matrix_pipeline([[f] for f in files], k=31)
+finally:
+    api.set_default_mesh(None)
+results["matrix"] = [[float(x) for x in row] for row in res.matrix]
+
+if pid == 0:
+    with open(out, "w") as fh:
+        json.dump(results, fh)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("done")
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -107,3 +161,49 @@ def test_two_process_distributed_count(tmp_path, ref_data):
                 keys.tobytes() + counts.astype(np.int32).tobytes())
             assert merged[f] == [len(keys), int(counts.sum()),
                                  dig.hexdigest()], f
+
+
+def test_two_process_sharded_kmer_counting(tmp_path, ref_data):
+    """Cross-host k-mer-space sharding: 2 processes x 4 devices, one
+    global mesh; the exchange all-to-all crosses the process boundary.
+    Verifies count tables against the single-process oracle and the
+    golden Bray-Curtis matrix through the same path."""
+    files = [str(ref_data / f"meta_test_{i}.fa") for i in (1, 2, 3)]
+    out = tmp_path / "sharded.json"
+    script = tmp_path / "worker.py"
+    script.write_text(SHARDED_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    repo = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), coord, str(out)] + files,
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        so, se = p.communicate(timeout=900)
+        outs.append((p.returncode, so.decode(), se.decode()))
+    assert all(rc == 0 for rc, _, _ in outs), outs
+
+    res = json.loads(out.read_text())
+
+    import hashlib
+    import jax
+    from metafast_tpu import api
+    with jax.default_device(jax.devices("cpu")[0]):
+        for f in files:
+            keys, counts, stats = api.count_reads_files([f], 21)
+            dig = hashlib.sha256(
+                keys.tobytes() + counts.astype(np.int32).tobytes())
+            got = res[f]
+            assert got["n"] == len(keys) and got["total"] == int(counts.sum())
+            assert got["digest"] == dig.hexdigest()
+            assert got["kmers_seen"] == stats["kmers_seen"]
+
+    want = np.array([[0.0, 0.5691162409506898, 0.2981399448537721],
+                     [0.5691162409506898, 0.0, 0.8448331091037222],
+                     [0.2981399448537721, 0.8448331091037222, 0.0]])
+    assert np.allclose(np.array(res["matrix"]), want, atol=1e-9)

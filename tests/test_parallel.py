@@ -123,20 +123,51 @@ def test_streaming_sharded_counter_matches_single(k):
 
 
 @needs_8
-def test_streaming_sharded_counter_overflow_raises():
+def test_streaming_sharded_counter_extreme_skew():
+    # every k-mer hashes to ONE shard (single repeated k-mer): the exact
+    # bucket sizing must absorb the worst-case skew with zero drops
+    # (the old heuristic cap would have overflowed here)
     from metafast_tpu.ops.stream_extract import build_stream
-    from metafast_tpu.parallel.count import (ShardedKmerCounter,
-                                             ShardOverflowError)
+    from metafast_tpu.parallel.count import ShardedKmerCounter
 
-    rng = np.random.default_rng(5)
+    k = 21
     mesh = make_mesh(8)
-    counter = ShardedKmerCounter(21, mesh, chunk=1 << 16,
-                                 cap_factor=0.001)
-    codes, lengths = _random_stream(rng, 21, 600)
-    words, vmask, _ = build_stream(codes, lengths, 21, lane_multiple=8 * 8)
+    codes = np.tile(np.zeros(k, np.uint8), 500)      # poly-A reads
+    lengths = np.full(500, k, np.int32)
+    counter = ShardedKmerCounter(k, mesh, chunk=1 << 12)
+    words, vmask, _ = build_stream(codes, lengths, k, lane_multiple=8 * 8)
     counter.add_stream(words, vmask, lengths)
-    with pytest.raises(ShardOverflowError):
-        counter.finish()
+    keys, counts = counter.finish()
+    ref = KmerCounter(k)
+    ref.add_stream(codes, lengths)
+    rk, rc = ref.finish()
+    assert np.array_equal(keys, rk)
+    assert np.array_equal(counts, rc)
+
+
+@needs_8
+def test_streaming_sharded_counter_spill_matches():
+    # a tiny spill threshold forces every consolidated level to host RAM;
+    # the final table must be bit-identical to the no-spill path
+    from metafast_tpu.ops.stream_extract import build_stream
+    from metafast_tpu.parallel.count import ShardedKmerCounter
+
+    k = 21
+    rng = np.random.default_rng(11)
+    mesh = make_mesh(8)
+    spilled = ShardedKmerCounter(k, mesh, chunk=1 << 15, spill=16)
+    plain = ShardedKmerCounter(k, mesh, chunk=1 << 15)
+    for _ in range(3):
+        codes, lengths = _random_stream(rng, k, 300)
+        words, vmask, _ = build_stream(codes, lengths, k,
+                                       lane_multiple=8 * 8)
+        spilled.add_stream(words, vmask, lengths)
+        plain.add_stream(words, vmask, lengths)
+    sk, sc = spilled.finish()
+    pk, pc = plain.finish()
+    assert len(spilled._levels) == 0
+    assert np.array_equal(sk, pk)
+    assert np.array_equal(sc, pc)
 
 
 @needs_8
