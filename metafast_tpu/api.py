@@ -137,6 +137,10 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
     accumulate into one table; reads shorter than min_len or containing
     invalid characters are skipped; counts saturate at 32767.
 
+    `progress`, if given, is called per slab with ONE dict argument
+    (keys: path, reads, kmers).  NOTE: this replaced the round-1
+    two-argument `progress(path, batch)` shape.
+
     Returns (keys int64 sorted, counts int32, stats dict).
     """
     if _default_mesh is not None and _default_mesh.devices.size > 1:

@@ -10,9 +10,10 @@ forks; --separate restricts components to color-specific k-mers).
 Determinism spec: start k-mers are scanned in ascending canonical-key
 order (the reference iterates hash order).
 
-Scale envelope: neighbor lookups are precomputed vectorized; the BFS
-itself is host Python (~1-5 us/node), fine for the tool's niche scale
-(up to a few million k-mers in seconds).  Bulk component extraction goes
+Scale envelope (MEASURED, tests/test_bfs_envelope.py): neighbor lookups
+are precomputed vectorized and the BFS is host Python at ~6 us/node
+including table build (1M-node chain in ~6 s) — fine for the tool's
+niche scale of a few million k-mers.  Bulk component extraction goes
 through the device label propagation in graph/components.py.
 """
 
@@ -85,9 +86,12 @@ def split_colored(keys: np.ndarray, values: np.ndarray, k: int,
     idx = np.searchsorted(keys, nbr_keys)
     idx = np.clip(idx, 0, max(N - 1, 0))
     found = (keys[idx] == nbr_keys) if N else np.zeros_like(idx, dtype=bool)
-    nbrs = np.where(found, idx, -1).astype(np.int64)
+    # python lists for the traversal: numpy scalar indexing costs ~20x a
+    # list access on the queue-chasing path (tests/test_bfs_envelope.py)
+    nbrs = np.where(found, idx, -1).astype(np.int64).tolist()
+    color_l = color.tolist()
 
-    visited = np.zeros(N, dtype=bool)
+    visited = bytearray(N)
     ans: dict[int, list[ColoredComponent]] = {g: [] for g in range(n_groups)}
     per_group = [0] * n_groups
 
@@ -102,7 +106,7 @@ def split_colored(keys: np.ndarray, values: np.ndarray, k: int,
         if n_comps != -1 and per_group[c] >= n_comps:
             continue
         comp = (_bfs_linear if linear else _bfs)(
-            nbrs, color, visited, start, c, separate)
+            nbrs, color_l, visited, start, c, separate)
         if comp:
             per_group[c] += 1
             members = np.array(sorted(comp), dtype=np.int64)
@@ -112,17 +116,18 @@ def split_colored(keys: np.ndarray, values: np.ndarray, k: int,
 
 
 def _bfs(nbrs, color, visited, start, start_color, separate):
+    from collections import deque
+
     comp: set[int] = set()
-    queue = [start]
+    queue = deque([start])
     visited[start] = True
     comp.add(start)
     while queue:
-        i = queue.pop(0)
+        i = queue.popleft()
         for j in nbrs[i]:
-            j = int(j)
             if j < 0 or visited[j]:
                 continue
-            cj = int(color[j])
+            cj = color[j]
             if cj == start_color:
                 visited[j] = True
                 comp.add(j)
@@ -135,13 +140,15 @@ def _bfs(nbrs, color, visited, start, start_color, separate):
 
 
 def _bfs_linear(nbrs, color, visited, start, start_color, separate):
+    from collections import deque
+
     comp: set[int] = set()
-    queue = [start]
+    queue = deque([start])
     visited[start] = True
     comp.add(start)
 
     def live(i, exclude=-1):
-        return [int(j) for j in nbrs[i]
+        return [j for j in nbrs[i]
                 if j >= 0 and not visited[j] and j != exclude]
 
     def count_color_on_path(j, prev):
@@ -152,7 +159,7 @@ def _bfs_linear(nbrs, color, visited, start, start_color, separate):
             if visited[cur] or cur in seen:
                 return -1 if visited[cur] else cnt
             seen.add(cur)
-            if int(color[cur]) == start_color:
+            if color[cur] == start_color:
                 cnt += 1
             nxt = live(cur, exclude=pv)
             if len(nxt) == 1:
@@ -178,7 +185,7 @@ def _bfs_linear(nbrs, color, visited, start, start_color, separate):
         return path
 
     while queue:
-        i = queue.pop(0)
+        i = queue.popleft()
         nl = live(i)
         if len(nl) > 1:
             best, best_good = None, -1

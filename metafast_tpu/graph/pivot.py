@@ -18,16 +18,13 @@ Deviations from reference bugs (documented, not replicated):
     value* to the component weight (:169-175) and bumps n_pivot once per
     path k-mer (:182); we add the graph value and bump once per path.
 
-Scale envelope: neighbor tables are precomputed vectorized (one
-searchsorted over all 8 neighbor sets), so the per-node cost is pure
-queue-chasing Python (~1-5 us/node).  Graphs up to a few million k-mers
-traverse in seconds; this matches the tool's niche use (pivot sets are
+Scale envelope (MEASURED, tests/test_bfs_envelope.py): neighbor tables
+are precomputed vectorized (one searchsorted over all 8 neighbor sets)
+and materialized as Python lists; the traversal is queue-chasing Python
+at ~5 us/node plus ~4 us/node of table build — a 2M-node chain
+traverses in ~20 s.  That matches the tool's niche use (pivot sets are
 statistically filtered k-mers, not whole samples).  The bulk pipeline
 path (graph/components.py) is the device label-propagation instead.
-
-The neighbor tables are precomputed vectorized (8 canonical neighbors
-via numpy bit math + binary search), so the traversal itself is pure
-index chasing.
 """
 
 from __future__ import annotations
@@ -91,17 +88,22 @@ class PivotComponent:
 
 
 class _Graph:
-    """Index-space view: neighbor indices (or -1) per key."""
+    """Index-space view: neighbor indices (or -1) per key.
+
+    Neighbor tables are computed vectorized (numpy), then materialized as
+    plain Python lists: the traversal below touches one element at a
+    time, where numpy scalar indexing costs ~10x a list access (20.6
+    vs ~5 us/node measured on a 2M-node chain before/after,
+    tests/test_bfs_envelope.py)."""
 
     def __init__(self, keys: np.ndarray, counts: np.ndarray, k: int):
         self.keys = keys
         self.counts = counts
         self.k = k
-        self.right_keys = right_neighbors_np(keys, k)
-        self.left_keys = left_neighbors_np(keys, k)
-        self.right = self._index(self.right_keys)
-        self.left = self._index(self.left_keys)
-        self.visited = np.zeros(len(keys), dtype=bool)
+        self.right = self._index(right_neighbors_np(keys, k)).tolist()
+        self.left = self._index(left_neighbors_np(keys, k)).tolist()
+        self.counts_l = counts.tolist()
+        self.visited = bytearray(len(keys))
 
     def _index(self, nbr_keys: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.keys, nbr_keys)
@@ -110,24 +112,23 @@ class _Graph:
             np.zeros_like(idx, dtype=bool)
         return np.where(found, idx, -1).astype(np.int64)
 
-    def live(self, side: np.ndarray, i: int) -> list[int]:
+    def live(self, side: list, i: int) -> list[int]:
         """Unvisited neighbor indices on one side (with multiplicity)."""
-        out = []
-        for j in side[i]:
-            if j >= 0 and not self.visited[j]:
-                out.append(int(j))
-        return out
+        v = self.visited
+        return [j for j in side[i] if j >= 0 and not v[j]]
 
-    def away_side(self, i: int, prev_key: int):
-        """Continuation side given the predecessor's canonical key.
+    def away_side(self, i: int, prev: int):
+        """Continuation side given the predecessor's INDEX.
 
         Mirrors the reference's two scans (left match -> go right, right
         match -> go left; the later scan wins,
-        ComponentsBuilderAroundPivot.java:283-296)."""
+        ComponentsBuilderAroundPivot.java:283-296).  The predecessor is
+        always a graph node, so index membership in the neighbor-index
+        rows is equivalent to the reference's key-membership scans."""
         side = None
-        if prev_key in self.left_keys[i]:
+        if prev in self.left[i]:
             side = self.right
-        if prev_key in self.right_keys[i]:
+        if prev in self.right[i]:
             side = self.left
         return side
 
@@ -140,16 +141,17 @@ def split_around_pivot(keys: np.ndarray, counts: np.ndarray, k: int,
     counts = np.asarray(counts, dtype=np.int64)
     g = _Graph(keys, counts, k)
 
-    piv = np.zeros(len(keys), dtype=bool)
+    piv_np = np.zeros(len(keys), dtype=bool)
     pidx = np.searchsorted(keys, np.asarray(pivot_keys, dtype=np.int64))
     pidx = np.clip(pidx, 0, max(len(keys) - 1, 0))
     if len(keys):
         ok = keys[pidx] == np.asarray(pivot_keys, dtype=np.int64)
-        piv[pidx[ok]] = True
-    pivot_done = np.zeros(len(keys), dtype=bool)
+        piv_np[pidx[ok]] = True
+    piv = bytearray(piv_np.tobytes())
+    pivot_done = bytearray(len(keys))
 
     out = []
-    for start in np.nonzero(piv)[0]:
+    for start in np.nonzero(piv_np)[0]:
         if pivot_done[start] or g.visited[start]:
             continue
         out.append(_bfs(g, int(start), piv, pivot_done, depth))
@@ -160,26 +162,28 @@ def split_around_pivot(keys: np.ndarray, counts: np.ndarray, k: int,
 
 def _bfs(g: _Graph, start: int, piv: np.ndarray, pivot_done: np.ndarray,
          depth: int) -> PivotComponent:
+    from collections import deque
+
     members: list[int] = []
     weight = 0
     n_pivot = 0
-    queue: list[tuple[int, int]] = []   # (index, parent key)
+    queue: deque[tuple[int, int]] = deque()   # (index, parent index)
 
     def visit(i: int) -> None:
         nonlocal weight, n_pivot
         g.visited[i] = True
         members.append(i)
-        weight += int(g.counts[i])
+        weight += g.counts_l[i]
         if piv[i] and not pivot_done[i]:
             pivot_done[i] = True
             n_pivot += 1
 
-    def probe(j: int, cur_key: int) -> tuple[int, list[int]]:
+    def probe(j: int, cur: int) -> tuple[int, list[int]]:
         """Walk the unique continuation from fork branch j; mark the path
         visited; return (#pivots on path, path indices)."""
         if depth == 1:
-            return _probe_line(g, j, cur_key, piv, pivot_done)
-        return _probe_deep(g, j, cur_key, piv, depth)
+            return _probe_line(g, j, cur, piv, pivot_done)
+        return _probe_deep(g, j, cur, piv, depth)
 
     def expand(i: int, side) -> None:
         """One side of the start k-mer, or the away side in the main loop."""
@@ -187,62 +191,62 @@ def _bfs(g: _Graph, start: int, piv: np.ndarray, pivot_done: np.ndarray,
         nbrs = [j for j in side[i] if j >= 0 and not g.visited[j]]
         if not nbrs:
             return
-        cur_key = int(g.keys[i])
         if len(nbrs) == 1:
             j = nbrs[0]
             visit(j)
-            queue.append((j, cur_key))
+            queue.append((j, i))
         else:
             for j in nbrs:
                 if g.visited[j]:
                     continue
-                n_piv, path = probe(j, cur_key)
+                n_piv, path = probe(j, i)
                 if n_piv > 0:
                     visit(j)
                     n_pivot += n_piv
                     for p in path:
                         _add_path_member(p)
                     if len(path) >= 2:
-                        queue.append((path[-1], int(g.keys[path[-2]])))
+                        queue.append((path[-1], path[-2]))
                     elif len(path) == 1:
-                        queue.append((path[0], int(g.keys[j])))
+                        queue.append((path[0], j))
                     else:
-                        queue.append((j, cur_key))
+                        queue.append((j, i))
 
     def _add_path_member(p: int) -> None:
         nonlocal weight
         members.append(p)
-        weight += int(g.counts[p])
+        weight += g.counts_l[p]
 
     visit(start)
     expand(start, g.right)
     expand(start, g.left)
 
     while queue:
-        i, prev_key = queue.pop(0)
-        side = g.away_side(i, prev_key)
+        i, prev = queue.popleft()
+        side = g.away_side(i, prev)
         if side is None:
             continue
         expand(i, side)
 
-    kmers = np.sort(g.keys[np.asarray(sorted(set(members)), dtype=np.int64)])
+    kmers = np.sort(g.keys[np.unique(
+        np.fromiter(members, dtype=np.int64, count=len(members)))])
     return PivotComponent(kmers=kmers, weight=weight, n_pivot=n_pivot)
 
 
-def _probe_line(g: _Graph, j: int, parent_key: int, piv: np.ndarray,
+def _probe_line(g: _Graph, j: int, parent: int, piv: np.ndarray,
                 pivot_done: np.ndarray) -> tuple[int, list[int]]:
     """depth==1 probe: follow unique continuations, consuming the path
     (ComponentsBuilderAroundPivot.dfs).  Marks pivots found as done."""
     path: list[int] = []
     n_pivot = 0
     cur = j
-    prev_key = parent_key
+    prev = parent
     # the branch head itself is NOT consumed by a failed probe
     # (the reference dfs never marks `neighbour`, only path k-mers);
     # mark it temporarily so a cycle cannot re-enter it, restore below
     g.visited[j] = True
     while True:
-        side = g.away_side(cur, prev_key)
+        side = g.away_side(cur, prev)
         if side is None:
             break
         nbrs = [x for x in side[cur] if x >= 0 and not g.visited[x]]
@@ -254,27 +258,27 @@ def _probe_line(g: _Graph, j: int, parent_key: int, piv: np.ndarray,
         if piv[nxt] and not pivot_done[nxt]:
             pivot_done[nxt] = True
             n_pivot += 1
-        prev_key = int(g.keys[cur])
+        prev = cur
         cur = nxt
     if n_pivot == 0:
         g.visited[j] = False
     return n_pivot, path
 
 
-def _probe_deep(g: _Graph, j: int, parent_key: int, piv: np.ndarray,
+def _probe_deep(g: _Graph, j: int, parent: int, piv: np.ndarray,
                 depth: int) -> tuple[int, list[int]]:
     """depth>1 probe: exhaustive DFS up to `depth` k-mers, keep the
     pivot-richest path (DeepComponentsBuilderAroundPivot.dfs)."""
     best = {"n": 0, "path": []}
 
-    def rec(cur: int, prev_key: int, path: list[int], n_piv: int,
+    def rec(cur: int, prev: int, path: list[int], n_piv: int,
             avail: int) -> None:
         if avail == 0:
             if n_piv > best["n"]:
                 best["n"] = n_piv
                 best["path"] = list(path)
             return
-        side = g.away_side(cur, prev_key)
+        side = g.away_side(cur, prev)
         nbrs = [] if side is None else \
             [x for x in side[cur] if x >= 0 and not g.visited[x]
              and x not in path and x != j]
@@ -284,11 +288,11 @@ def _probe_deep(g: _Graph, j: int, parent_key: int, piv: np.ndarray,
                 best["path"] = list(path)
             return
         for x in nbrs:
-            rec(x, int(g.keys[cur]), path + [x],
+            rec(x, cur, path + [x],
                 n_piv + (1 if piv[x] else 0), avail - 1)
 
     g.visited[j] = True
-    rec(j, parent_key, [], 0, depth)
+    rec(j, parent, [], 0, depth)
     if best["n"] == 0:
         # deep probes are read-only on failure (the reference's deep dfs
         # never mutates hm; only the chosen best path is consumed)

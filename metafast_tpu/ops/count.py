@@ -549,6 +549,12 @@ class KmerCounter:
 
     def __init__(self, k: int, capacity: int = 1 << 16,
                  chunk: int = 1 << 27, spill: int | None = 1 << 27):
+        # k <= 31 is load-bearing beyond reference parity
+        # (KmersCounterMain.java:66-73): _fetch_table relies on 2k-bit
+        # keys staying below 2^62 so that ascending (hi, lo) uint32 order
+        # survives the int64 reinterpretation; k = 32 would flip sign bits
+        if not (1 <= k <= 31):
+            raise ValueError(f"k must be in [1, 31], got {k}")
         self.k = k
         self._levels: dict = {}     # pow2 size -> counted (hi, lo, cnt)
         self._pending: list = []    # raw (hi, lo) key arrays, uncounted

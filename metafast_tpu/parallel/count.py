@@ -403,6 +403,9 @@ class ShardedKmerCounter:
 
     def __init__(self, k: int, mesh: Mesh, chunk: int = 1 << 27,
                  cap_factor: float = 2.0, spill: int | None = 1 << 27):
+        # same k bound as ops.count.KmerCounter (int64 key-order invariant)
+        if not (1 <= k <= 31):
+            raise ValueError(f"k must be in [1, 31], got {k}")
         self.k = k
         self.mesh = mesh
         self.n = mesh.shape[AXIS]

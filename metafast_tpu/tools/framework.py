@@ -212,7 +212,9 @@ class Tool:
 
     def _guard_existing_state(self) -> None:
         ctx = self.ctx
-        if ctx.cont or ctx.force or not self.workdir.is_dir():
+        # --start inherently implies prior state (it resumes from a step),
+        # so it passes the guard like --continue does
+        if ctx.cont or ctx.force or ctx.start or not self.workdir.is_dir():
             return
         prior = sorted(str(p.parent.relative_to(self.workdir))
                        for p in self.workdir.glob(f"*/{SUCCESS}"))
@@ -250,7 +252,9 @@ class Tool:
                 self._load_step_outputs(step, sd)
                 ctx.logger.info("[%s] skipped (before --start)", step.NAME)
                 continue
-            if self._can_skip(step, sd):
+            if self._can_skip(step, sd) and step.NAME != ctx.start:
+                # the named --start step always reruns, even with an
+                # up-to-date manifest: starting *from* it is the request
                 self._load_step_outputs(step, sd)
                 ctx.logger.info("[%s] up to date, skipped", step.NAME)
             else:

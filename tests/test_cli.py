@@ -133,3 +133,19 @@ def test_uncaught_exception_is_concise(tmp_path, monkeypatch, caplog):
                    "-w", str(tmp_path / "wd")])
     assert rc == 1
     assert any("bug" in r.getMessage() for r in caplog.records)
+
+
+def test_start_implies_resume_and_reruns_named_step(workdir, caplog):
+    """--start NAME alone must pass the prior-state guard (it inherently
+    resumes) and must RE-RUN the named step even if its manifest is up to
+    date (starting *from* a step is a request to run it)."""
+    import logging
+    wd, args = workdir
+    with caplog.at_level(logging.INFO, logger="metafast"):
+        assert main(args + ["--start", "dist-matrix-calculator"]) == 0
+    msgs = [r.getMessage() for r in caplog.records]
+    # earlier steps skipped as "before --start", the named one ran
+    assert any("skipped (before --start)" in m for m in msgs)
+    assert any(m == "started" and r.name.endswith("dist-matrix-calculator")
+               for r, m in zip(caplog.records, msgs)) or \
+        not any("dist-matrix-calculator] up to date" in m for m in msgs)

@@ -263,3 +263,25 @@ def test_kmer_counter_finish_device_raises_after_spill():
     c.add_stream(codes, np.full(400, 100, np.int32))
     with pytest.raises(RuntimeError, match="spill"):
         c.finish_device()
+
+
+def test_k_bound_pinned():
+    # the int64 key-order invariant in _fetch_table requires k <= 31
+    # (2k-bit keys stay below 2^62); k = 32 would silently flip sign bits
+    import pytest
+    from metafast_tpu.ops.count import KmerCounter
+
+    for bad in (0, 32, 64):
+        with pytest.raises(ValueError):
+            KmerCounter(bad)
+    KmerCounter(31)
+
+
+def test_sharded_k_bound_pinned():
+    import pytest
+    import jax
+    from metafast_tpu.parallel.count import ShardedKmerCounter, make_mesh
+
+    mesh = make_mesh(min(len(jax.devices()), 8))
+    with pytest.raises(ValueError):
+        ShardedKmerCounter(32, mesh)
