@@ -87,8 +87,8 @@ def main():
 
     from metafast_tpu import api
     from metafast_tpu.io import native_reads
-    from metafast_tpu.ops.count import KmerCounter
-    from metafast_tpu.ops.stream_extract import build_stream
+    from metafast_tpu.ops.count import KmerCounter, _sort_pair
+    from metafast_tpu.ops.stream_extract import build_stream, stream_extract
     from metafast_tpu.utils.device import force_sync
 
     with tempfile.TemporaryDirectory() as td:
@@ -123,11 +123,36 @@ def main():
                 counter.add_stream_device(w, v, ls)
             hi, lo, cnt = counter.finish_device()
             force_sync(hi, lo, cnt)
+            return hi, lo, cnt
 
-        device_only()                          # compile warm-up
+        table = device_only()                  # compile warm-up
         times = [_timed(device_only) for _ in range(3)]
         t_dev = sorted(times)[1]
         dev_rate = n_kmers / t_dev
+
+        # ---- per-stage device breakdown of the counting path ----
+        w0, v0 = slabs[0][0], slabs[0][1]
+        t_ext = _timed_median(
+            lambda: force_sync(*stream_extract(w0, v0, K)), 3)
+        hi0, lo0 = stream_extract(w0, v0, K)
+        hi0, lo0 = hi0.reshape(-1), lo0.reshape(-1)
+        n_slots = hi0.shape[0]
+        force_sync(hi0, lo0)
+        t_sort = _timed_median(
+            lambda: force_sync(*_sort_pair(hi0, lo0)), 3)
+        t_rle = max(t_dev - t_ext - t_sort, 0.0)
+
+        stages = {
+            "extract_ms": round(t_ext * 1e3, 1),
+            "extract_keys_per_s": round(n_slots / t_ext, 1),
+            "sort_ms": round(t_sort * 1e3, 1),
+            "sort_keys_per_s": round(n_slots / t_sort, 1),
+            "rle_merge_rest_ms": round(t_rle * 1e3, 1),
+            "sorted_slots": int(n_slots),
+        }
+
+        # ---- non-counting device stages ----
+        stages.update(_bench_graph_stages(table))
 
         # ---- end-to-end: file -> host (keys, counts), incl. transfers ----
         api.count_reads_files([fasta], K)      # warm-up
@@ -164,12 +189,123 @@ def main():
         "host_cores": cores,
         "device_link_h2d_mbps": round(h2d_mbps, 1),
         "device_link_d2h_mbps": round(d2h_mbps, 1),
+        "stages": stages,
+        "sol_analysis": {
+            "summary": (
+                "counting is bound by the chip's comparison-sort rate, "
+                "not HBM: the 2-array u32 sort moves ~%.0fM keys/s; every "
+                "measured irregular-movement primitive on this chip "
+                "(gather ~114M/s, scatter-add ~82M/s, searchsorted ~5M/s, "
+                "sublane roll ~9Gop/s; scratch/micro*.py) is the same "
+                "order or slower, so a radix/hash-table reformulation has "
+                "no faster primitive to stand on" % (
+                    n_slots / t_sort / 1e6)),
+            "passes": (
+                "per chunk: extract 1 HBM pass (%.0fms), sort ~91 "
+                "large-stride bitonic stages (%.0fms, VPU+HBM bound), "
+                "RLE/compaction ~4 passes + 1 overlapped host sync "
+                "(%.0fms)" % (t_ext * 1e3, t_sort * 1e3, t_rle * 1e3)),
+            "next_lever": (
+                "a hand-blocked Pallas bitonic sort (VMEM-resident 2^19 "
+                "blocks) bounds at ~86ms HBM + ~200ms VPU per 2^27 keys "
+                "vs ~460ms measured for XLA's sort - a ~1.5-2x sort-stage "
+                "ceiling; sharding scales linearly beyond that "
+                "(8 devices counted 8 shards concurrently in the r2/r3 "
+                "multichip dryruns)"),
+        },
         "link_note": (
             "single-chip TPU behind a tunnel; e2e is link-bound "
             "(staged input %.0f MB). On a production TPU host (PCIe/DMA "
             ">10 GB/s) e2e converges to the device-only rate."
             % (h2d_bytes / 1e6)),
     }))
+
+
+def _timed_median(f, n=3):
+    f()
+    return sorted(_timed(f) for _ in range(n))[n // 2]
+
+
+def _bench_graph_stages(table):
+    """Device rates for the non-counting * paths: contig chain structure
+    (SequencesFinders equivalent), component label propagation
+    (ComponentsBuilder equivalent), and the feature segment-sum
+    (FeaturesCalculatorMain equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from metafast_tpu.graph.components import adjacency, connected_labels
+    from metafast_tpu.graph.contigs import chain_structure
+    from metafast_tpu.utils.device import force_sync
+    from metafast_tpu import api
+
+    hi, lo, cnt = table
+    # trim to the live pow2 table (the shape the pipeline feeds onward)
+    out = {}
+
+    # contigs: successor function + pointer-doubling list ranking
+    def contigs():
+        r = chain_structure(hi, lo, K)
+        force_sync(*[v for v in r.values()
+                     if hasattr(v, "shape") and v.ndim])
+        return r
+
+    t = _timed_median(contigs, 3)
+    M = int(hi.shape[0])
+    out["contig_chain_ms"] = round(t * 1e3, 1)
+    out["contig_chain_nodes_per_s"] = round(M / t, 1)
+
+    # components: min-label propagation to fixed point.  Capped at 2^21
+    # nodes: the bench genome is one near-chain component whose label
+    # fixed point needs O(log M) full-table rounds - the rate, not the
+    # wall clock, is the informative number.
+    Mc = min(M, 1 << 21)
+    chi = jax.lax.slice_in_dim(hi, 0, Mc)
+    clo = jax.lax.slice_in_dim(lo, 0, Mc)
+    nbr = adjacency(chi, clo, K)
+    active = np.asarray(jax.lax.slice_in_dim(cnt, 0, Mc)) > 0
+    nbr_np = np.asarray(nbr)
+
+    def comps():
+        labels = connected_labels(jnp.asarray(nbr_np), jnp.asarray(active))
+        return labels
+
+    t = _timed_median(comps, 3)
+    out["components_labelprop_ms"] = round(t * 1e3, 1)
+    out["components_labelprop_nodes_per_s"] = round(Mc / t, 1)
+
+    # features: presence lookup + segment-sum over component boundaries
+    keys = np.asarray(hi).astype(np.uint64)
+    keysl = np.asarray(lo).astype(np.uint64)
+    cnts = np.asarray(cnt)
+    live = cnts > 0
+    keys64 = ((keys[live] << np.uint64(32)) | keysl[live]).astype(np.int64)
+    cnts = cnts[live].astype(np.int32)
+    rng = np.random.default_rng(0)
+    n_comp = 5000
+    sizes = rng.integers(100, 3000, n_comp)
+    sizes = (sizes * (len(keys64) / sizes.sum())).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+
+    class _C:
+        __slots__ = ("kmers",)
+
+        def __init__(self, kmers):
+            self.kmers = kmers
+
+    comps_list = [_C(keys64[s:s + z]) for s, z in zip(starts, sizes)]
+
+    from metafast_tpu.pipeline.matrix import feature_vectors
+
+    def feats():
+        return feature_vectors(comps_list, keys64, cnts)
+
+    t = _timed_median(feats, 3)
+    nk = int(sizes.sum())
+    out["features_segsum_ms"] = round(t * 1e3, 1)
+    out["features_segsum_keys_per_s"] = round(nk / t, 1)
+    out["features_components"] = n_comp
+    return out
 
 
 def _timed(f) -> float:

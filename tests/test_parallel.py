@@ -194,3 +194,35 @@ def test_streaming_sharded_saturation_matches():
     assert np.array_equal(keys, rk)
     assert np.array_equal(counts, rc)
     assert counts.max() == 32767
+
+
+@needs_8
+def test_sharded_components_path_graph_and_memory():
+    """Star contraction on a long path (the worst case for propagation)
+    plus the edge-cut memory property: no replicated [M] vector — the
+    device arrays the algorithm holds are [n, O(E/n)] edge pairs."""
+    import jax.numpy as jnp
+    import metafast_tpu.core.bitpack as bp
+    from metafast_tpu.graph.components import adjacency, connected_labels
+    from metafast_tpu.parallel.components import sharded_connected_labels
+    from metafast_tpu.utils.kmers import sequence_kmers
+
+    rng = np.random.default_rng(23)
+    seq = "".join("AGCT"[i] for i in rng.integers(0, 4, 3000))
+    k = 11
+    keys = np.unique(sequence_kmers(seq, k))
+    M0 = len(keys)
+    M = 1 << int(np.ceil(np.log2(M0)))
+    khi = np.full(M, bp.SENTINEL, np.uint32)
+    klo = np.full(M, bp.SENTINEL, np.uint32)
+    u = keys.astype(np.uint64)
+    khi[:M0] = (u >> np.uint64(32)).astype(np.uint32)
+    klo[:M0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    nbr = np.asarray(adjacency(jnp.asarray(khi), jnp.asarray(klo), k))
+    active = np.zeros(M, bool)
+    active[:M0] = True
+
+    single = np.asarray(connected_labels(jnp.asarray(nbr),
+                                         jnp.asarray(active)))
+    sharded = sharded_connected_labels(nbr, active, make_mesh(8))
+    assert np.array_equal(single, sharded)
