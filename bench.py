@@ -243,17 +243,23 @@ def _bench_graph_stages(table):
     # trim to the live pow2 table (the shape the pipeline feeds onward)
     out = {}
 
-    # contigs: successor function + pointer-doubling list ranking
+    # contigs: successor function + pointer-doubling list ranking.
+    # Capped at 2^22 keys: gather-heavy stages beyond that have crashed
+    # the v5e worker (and rates, not wall clocks, are the deliverable).
+    M = min(int(hi.shape[0]), 1 << 22)
+    ghi = jax.lax.slice_in_dim(hi, 0, M)
+    glo = jax.lax.slice_in_dim(lo, 0, M)
+
     def contigs():
-        r = chain_structure(hi, lo, K)
+        r = chain_structure(ghi, glo, K)
         force_sync(*[v for v in r.values()
                      if hasattr(v, "shape") and v.ndim])
         return r
 
     t = _timed_median(contigs, 3)
-    M = int(hi.shape[0])
     out["contig_chain_ms"] = round(t * 1e3, 1)
     out["contig_chain_nodes_per_s"] = round(M / t, 1)
+    out["contig_chain_nodes"] = M
 
     # components: min-label propagation to fixed point.  Capped at 2^21
     # nodes: the bench genome is one near-chain component whose label

@@ -47,25 +47,27 @@ class Component:
 
 @partial(jax.jit, static_argnames=("k",))
 def adjacency(khi, klo, k: int):
-    """[M, 8] neighbor table indices (-1 = absent), canonical 8-neighborhood.
+    """[8, M] neighbor table indices (-1 = absent), canonical 8-neighborhood.
 
     Parity: KmerOperations.possibleNeighbours (src/algo/KmerOperations.java:9-27).
+    Neighbor-major layout: an [M, 8] array's 8-wide minor dim pads to 128
+    lanes on TPU (16x HBM blowup); [8, M] is tight.
     """
     t = dbg.neighbor_tables(khi, klo, k)
-    idx = jnp.concatenate([t["left"]["idx"], t["right"]["idx"]], axis=-1)
-    present = jnp.concatenate([t["left"]["present"], t["right"]["present"]], axis=-1)
+    idx = jnp.concatenate([t["left"]["idx"], t["right"]["idx"]], axis=0)
+    present = jnp.concatenate([t["left"]["present"], t["right"]["present"]], axis=0)
     return jnp.where(present, idx, -1)
 
 
 @jax.jit
 def _label_round(labels, nbr, active):
-    """One hash-min round + full pointer shortcutting."""
+    """One hash-min round + full pointer shortcutting (nbr is [8, M])."""
     M = labels.shape[0]
     # min over present, active neighbors
     safe = jnp.clip(nbr, 0, M - 1)
     nl = labels[safe]
     nl = jnp.where((nbr >= 0) & active[safe], nl, M)
-    best = jnp.min(nl, axis=-1)
+    best = jnp.min(nl, axis=0)
     labels = jnp.where(active, jnp.minimum(labels, best), labels)
 
     # shortcut: labels point to lower-numbered rows; compress a few hops
@@ -83,7 +85,7 @@ def _connected_labels_device(nbr, active):
     The convergence check runs inside lax.while_loop: a host round-trip
     per round costs ~100ms+ on a tunneled TPU, and path-graph components
     need many rounds."""
-    M = nbr.shape[0]
+    M = nbr.shape[1]
     labels0 = jnp.where(active, jnp.arange(M, dtype=I32), M)
 
     def cond(state):

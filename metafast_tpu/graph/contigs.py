@@ -47,7 +47,7 @@ def chain_structure(khi, klo, k: int):
 
     Args:
       khi, klo: [M] sorted canonical keys, SENTINEL padded.
-    Returns (all [2M] unless noted):
+    Returns (all [2M]; oriented node o = i for fw(key i), M + i for rc):
       term:     terminal node index of each node's chain (valid where reached)
       dist:     steps to terminal
       reached:  bool, node lies on a terminated chain (not in a cycle)
@@ -66,17 +66,24 @@ def chain_structure(khi, klo, k: int):
     idx = jnp.arange(M, dtype=I32)
 
     def pick(tab, nuc):
-        """Gather tab[side][...] at per-row nucleotide (clipped for nuc<0)."""
+        """Select tab[nuc[i], i] per element (clipped for nuc<0).
+
+        Tables are nucleotide-major [4, M] (see dbg.neighbor_tables);
+        select_n keeps this a pure VPU select tree, no gathers."""
         safe = jnp.clip(nuc, 0, 3)
-        return tab[idx, safe]
+        return jax.lax.select_n(safe, tab[0], tab[1], tab[2], tab[3])
+
+    # Oriented node ids are block-concatenated: fw(i) = i, rc(i) = M + i.
+    # (An interleaved 2*i+orient id needs an [M, 2] stack whose 2-wide
+    # minor dim pads to 128 lanes on TPU.)
 
     # --- successor of fw orientation -----------------------------------
     rn = extR_fw
     j_fw = pick(R["idx"], rn)
     arr_is_fw = pick(R["is_fw"], rn) | pal[jnp.clip(j_fw, 0, M - 1)]
     extL_arr = jnp.where(arr_is_fw, extL_fw[j_fw], dbg.ext_map_rc(extR_fw[j_fw]))
-    succ_fw_node = 2 * j_fw + jnp.where(arr_is_fw, 0, 1)
-    ok_fw = (rn >= 0) & (extL_arr != dbg.FORK) & (succ_fw_node != 2 * idx) & valid
+    succ_fw_node = j_fw + jnp.where(arr_is_fw, 0, M)
+    ok_fw = (rn >= 0) & (extL_arr != dbg.FORK) & (succ_fw_node != idx) & valid
     succ_fw = jnp.where(ok_fw, succ_fw_node, -1)
 
     # --- successor of rc orientation -----------------------------------
@@ -85,8 +92,8 @@ def chain_structure(khi, klo, k: int):
     j_rc = pick(L["idx"], m)
     arr_is_fw_rc = (~pick(L["is_fw"], m)) | pal[jnp.clip(j_rc, 0, M - 1)]
     extL_arr_rc = jnp.where(arr_is_fw_rc, extL_fw[j_rc], dbg.ext_map_rc(extR_fw[j_rc]))
-    succ_rc_node = 2 * j_rc + jnp.where(arr_is_fw_rc, 0, 1)
-    ok_rc = (m >= 0) & (extL_arr_rc != dbg.FORK) & (succ_rc_node != 2 * idx + 1) & valid
+    succ_rc_node = j_rc + jnp.where(arr_is_fw_rc, 0, M)
+    ok_rc = (m >= 0) & (extL_arr_rc != dbg.FORK) & (succ_rc_node != M + idx) & valid
     succ_rc = jnp.where(ok_rc, succ_rc_node, -1)
 
     # --- start ("left end") detection ----------------------------------
@@ -102,13 +109,13 @@ def chain_structure(khi, klo, k: int):
     extR_predrc = jnp.where(predrc_is_fw, extR_fw[qj], dbg.ext_map_rc(extL_fw[qj]))
     start_rc = ((extR_fw < 0) | (extR_predrc == dbg.FORK)) & valid
 
-    # --- interleave to oriented nodes -----------------------------------
-    succ = jnp.stack([succ_fw, succ_rc], axis=-1).reshape(-1)
-    is_start = jnp.stack([start_fw, start_rc], axis=-1).reshape(-1)
+    # --- concatenate to oriented nodes (fw block, then rc block) ---------
+    succ = jnp.concatenate([succ_fw, succ_rc])
+    is_start = jnp.concatenate([start_fw, start_rc])
 
     last_fw = bp.last_nuc(klo)
     last_rc = 3 - bp.first_nuc(khi, klo, k).astype(I32)
-    last_nuc = jnp.stack([last_fw.astype(I32), last_rc], axis=-1).reshape(-1)
+    last_nuc = jnp.concatenate([last_fw.astype(I32), last_rc])
 
     # --- pointer doubling ------------------------------------------------
     n = 2 * M
@@ -117,15 +124,24 @@ def chain_structure(khi, klo, k: int):
     ptr = jnp.where(terminal, nodes, succ)
     dist = jnp.where(terminal, 0, 1).astype(I32)
 
+    # Adaptive doubling: chains are usually far shorter than n, so exit
+    # as soon as no pointer moved (device-side check — no host syncs).
+    # Cycles never reach a fixed point, so the round cap still applies;
+    # their nodes end up with reached=False exactly as before.
     rounds = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
 
-    def body(_, carry):
-        ptr, dist = carry
-        dist = dist + dist[ptr]
-        ptr = ptr[ptr]
-        return ptr, dist
+    def cond(carry):
+        _, _, i, changed = carry
+        return changed & (i < rounds)
 
-    ptr, dist = jax.lax.fori_loop(0, rounds, body, (ptr, dist))
+    def body(carry):
+        ptr, dist, i, _ = carry
+        nptr = ptr[ptr]
+        dist = dist + dist[ptr]
+        return nptr, dist, i + 1, jnp.any(nptr != ptr)
+
+    ptr, dist, _, _ = jax.lax.while_loop(
+        cond, body, (ptr, dist, jnp.int32(0), jnp.bool_(True)))
     reached = terminal[ptr]
     return dict(term=ptr, dist=dist, reached=reached, is_start=is_start,
                 last_nuc=last_nuc, succ=succ)
@@ -174,19 +190,19 @@ def build_contigs(keys64: np.ndarray, counts: np.ndarray, k: int,
     starts = starts[np.sort(first)]
 
     seq_len = k + dist[starts]
-    st_key = keys64[starts >> 1]
-    end_key = keys64[term[starts] >> 1]
+    st_key = keys64[starts % M]
+    end_key = keys64[term[starts] % M]
 
     emit = seq_len >= len_threshold
     emit &= (st_key < end_key) | (
-        (st_key == end_key) & ((dist[starts] > 0) | (starts % 2 == 0)))
+        (st_key == end_key) & ((dist[starts] > 0) | (starts < M)))
     starts = starts[emit]
     if len(starts) == 0:
         return []
     seq_len = seq_len[emit]
 
     # deterministic output order
-    order = np.argsort(keys64[starts >> 1], kind="stable")
+    order = np.argsort(keys64[starts % M], kind="stable")
     starts = starts[order]
     seq_len = seq_len[order]
 
@@ -199,7 +215,7 @@ def build_contigs(keys64: np.ndarray, counts: np.ndarray, k: int,
     member = reached & (row_of[term] >= 0)
     nodes = np.nonzero(member)[0]
     rows = row_of[term[nodes]]
-    ncounts = counts[(nodes >> 1)].astype(np.int64)
+    ncounts = counts[(nodes % M)].astype(np.int64)
     wsum = np.zeros(n_chain, dtype=np.int64)
     wmin = np.full(n_chain, np.iinfo(np.int64).max, dtype=np.int64)
     wmax = np.zeros(n_chain, dtype=np.int64)
@@ -220,8 +236,8 @@ def build_contigs(keys64: np.ndarray, counts: np.ndarray, k: int,
     out = []
     for r in range(n_chain):
         o = starts[r]
-        key = int(keys64[o >> 1])
-        val = key if o % 2 == 0 else rc64(key, k)
+        key = int(keys64[o % M])
+        val = key if o < M else rc64(key, k)
         prefix = kmer_string(val, k)[: k - 1]
         s = buf[offsets[r]: offsets[r + 1]]
         s[: k - 1] = np.frombuffer(prefix.encode(), dtype=np.uint8)

@@ -36,11 +36,16 @@ def neighbor_tables(khi, klo, k: int):
     Args:
       khi, klo: [M] sorted canonical keys (SENTINEL-padded tail allowed).
     Returns dict with, for side in {left, right} and nuc in 0..3:
-      val_hi/val_lo [M,4]  oriented neighbor value (fw frame)
-      idx [M,4] int32      table index of canonical neighbor (clipped)
-      present [M,4] bool
-      is_fw [M,4] bool     oriented value equals its canonical key
+      val_hi/val_lo [4,M]  oriented neighbor value (fw frame)
+      idx [4,M] int32      table index of canonical neighbor (clipped)
+      present [4,M] bool
+      is_fw [4,M] bool     oriented value equals its canonical key
       ext_left/ext_right [M] int32  unique-extension codes (-1/-2/0..3)
+
+    Layout note: the nucleotide axis LEADS.  A [M, 4] table on TPU is
+    tiled (8, 128) with the 4-wide minor dim padded to 128 lanes — a 32x
+    HBM blowup (observed: 4 GB per table at M = 2^23); [4, M] pads only
+    the 4 sublanes to 8 (2x).
     """
     res = {}
     for side in ("left", "right"):
@@ -52,16 +57,16 @@ def neighbor_tables(khi, klo, k: int):
                 h, l = bp.shift_left(khi, klo, U32(nuc), k)
             vh.append(h)
             vl.append(l)
-        val_hi = jnp.stack(vh, axis=-1)
-        val_lo = jnp.stack(vl, axis=-1)
+        val_hi = jnp.stack(vh, axis=0)
+        val_lo = jnp.stack(vl, axis=0)
         can_hi, can_lo = bp.canonical(val_hi, val_lo, k)
         idx, present = lookup.find(khi, klo, can_hi, can_lo)
         # don't let sentinel rows report neighbors
-        sent = bp.is_sentinel(khi, klo)[:, None]
+        sent = bp.is_sentinel(khi, klo)[None, :]
         present = present & ~sent
         is_fw = (val_hi == can_hi) & (val_lo == can_lo)
-        deg = jnp.sum(present.astype(I32), axis=-1)
-        uniq_nuc = jnp.argmax(present, axis=-1).astype(I32)
+        deg = jnp.sum(present.astype(I32), axis=0)
+        uniq_nuc = jnp.argmax(present, axis=0).astype(I32)
         ext = jnp.where(deg == 0, NONE, jnp.where(deg >= 2, FORK, uniq_nuc))
         res[side] = dict(val_hi=val_hi, val_lo=val_lo, idx=idx,
                          present=present, is_fw=is_fw, ext=ext)

@@ -214,14 +214,14 @@ def sharded_connected_labels(nbr: np.ndarray, active: np.ndarray,
     is O(E/n) edges (E <= 8M); no replicated [M] vector exists at any
     point — the memory-scaling argument VERDICT r2 #7 asked for.
 
-    nbr: [M, 8] int32 neighbor indices (-1 absent), host array.
+    nbr: [8, M] int32 neighbor indices (-1 absent), host array.
     """
-    M = nbr.shape[0]
+    M = nbr.shape[1]
     n = mesh.shape[AXIS]
     active = np.asarray(active, dtype=bool)
 
     # --- host setup: oriented edge list (u, v), hash-sharded by u -------
-    src = np.repeat(np.arange(M, dtype=np.int64), nbr.shape[1])
+    src = np.tile(np.arange(M, dtype=np.int64), nbr.shape[0])
     dst = np.asarray(nbr, dtype=np.int64).reshape(-1)
     keep = (dst >= 0) & (src != dst)
     keep &= active[src] & active[np.clip(dst, 0, M - 1)]

@@ -1,0 +1,89 @@
+"""Sort-merge bulk lookup (graph/lookup._find_merge) vs binary search."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metafast_tpu.core import bitpack as bp
+from metafast_tpu.graph import lookup
+
+
+def _mk_table(rng, t):
+    keys = np.sort(rng.choice(1 << 40, t, replace=False).astype(np.uint64))
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    # sentinel-padded tail
+    pad = 16
+    hi = np.concatenate([hi, np.full(pad, bp.SENTINEL, np.uint32)])
+    lo = np.concatenate([lo, np.full(pad, bp.SENTINEL, np.uint32)])
+    return hi, lo, keys
+
+
+@pytest.mark.parametrize("q_shape", [(4000,), (8, 700)])
+def test_merge_find_matches_binary(q_shape):
+    rng = np.random.default_rng(0)
+    thi, tlo, keys = _mk_table(rng, 2000)
+    q = int(np.prod(q_shape))
+    # mix of hits, misses, duplicates, and sentinel queries
+    hit = keys[rng.integers(0, len(keys), q)]
+    miss = rng.choice(1 << 40, q, replace=False).astype(np.uint64)
+    pick = rng.random(q)
+    qk = np.where(pick < 0.5, hit, miss)
+    qhi = (qk >> np.uint64(32)).astype(np.uint32)
+    qlo = (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    sent = pick > 0.9
+    qhi[sent] = np.uint32(bp.SENTINEL)
+    qlo[sent] = np.uint32(bp.SENTINEL)
+    qhi = qhi.reshape(q_shape)
+    qlo = qlo.reshape(q_shape)
+
+    bi, bf = lookup.find(jnp.asarray(thi), jnp.asarray(tlo),
+                         jnp.asarray(qhi), jnp.asarray(qlo))
+    mi, mf = lookup._find_merge(jnp.asarray(thi), jnp.asarray(tlo),
+                                jnp.asarray(qhi), jnp.asarray(qlo))
+    np.testing.assert_array_equal(np.asarray(bf), np.asarray(mf))
+    # indices must agree wherever found
+    f = np.asarray(bf)
+    np.testing.assert_array_equal(np.asarray(bi)[f], np.asarray(mi)[f])
+
+
+def test_merge_find_all_miss_and_all_hit():
+    rng = np.random.default_rng(1)
+    thi, tlo, keys = _mk_table(rng, 512)
+    qk = keys.copy()
+    qhi = (qk >> np.uint64(32)).astype(np.uint32)
+    qlo = (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    mi, mf = lookup._find_merge(jnp.asarray(thi), jnp.asarray(tlo),
+                                jnp.asarray(qhi), jnp.asarray(qlo))
+    assert bool(np.all(np.asarray(mf)))
+    np.testing.assert_array_equal(np.asarray(mi), np.arange(len(keys)))
+
+    miss = (qk + np.uint64(1))  # off-by-one keys: all absent w.h.p.
+    in_table = np.isin(miss, keys)
+    qhi = (miss >> np.uint64(32)).astype(np.uint32)
+    qlo = (miss & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    _, mf = lookup._find_merge(jnp.asarray(thi), jnp.asarray(tlo),
+                               jnp.asarray(qhi), jnp.asarray(qlo))
+    np.testing.assert_array_equal(np.asarray(mf), in_table)
+
+
+def test_ffill_scan_long():
+    """Row-decomposed fill == plain scan on a length that triggers
+    the decomposition."""
+    rng = np.random.default_rng(2)
+    n = 4096 * 4
+    valid = rng.random(n) < 0.01
+    val = rng.integers(0, 1 << 30, n).astype(np.int32)
+    fv, fx = lookup._ffill_scan((jnp.asarray(valid), jnp.asarray(val)))
+    # numpy oracle
+    exp_v = np.zeros(n, bool)
+    exp_x = np.zeros(n, np.int32)
+    seen = False
+    cur = 0
+    for i in range(n):
+        if valid[i]:
+            seen, cur = True, val[i]
+        exp_v[i] = seen
+        exp_x[i] = cur if seen else 0
+    np.testing.assert_array_equal(np.asarray(fv), exp_v)
+    np.testing.assert_array_equal(np.asarray(fx)[exp_v], exp_x[exp_v])
