@@ -152,7 +152,10 @@ def main():
         }
 
         # ---- non-counting device stages ----
-        stages.update(_bench_graph_stages(table))
+        try:
+            stages.update(_bench_graph_stages(table))
+        except Exception as e:          # never lose the headline metric
+            stages["graph_stages_error"] = f"{type(e).__name__}: {e}"[:300]
 
         # ---- end-to-end: file -> host (keys, counts), incl. transfers ----
         api.count_reads_files([fasta], K)      # warm-up
@@ -195,23 +198,23 @@ def main():
                 "counting is bound by the chip's comparison-sort rate, "
                 "not HBM: the 2-array u32 sort moves ~%.0fM keys/s; every "
                 "measured irregular-movement primitive on this chip "
-                "(gather ~114M/s, scatter-add ~82M/s, searchsorted ~5M/s, "
-                "sublane roll ~9Gop/s; scratch/micro*.py) is the same "
-                "order or slower, so a radix/hash-table reformulation has "
-                "no faster primitive to stand on" % (
-                    n_slots / t_sort / 1e6)),
+                "(gather ~50M/s, scatter-add ~82M/s, searchsorted ~5M/s; "
+                "scratch/micro*.py, PERF.md section 1) is far slower, so "
+                "a radix/hash-table reformulation has no faster primitive "
+                "to stand on" % (n_slots / t_sort / 1e6)),
             "passes": (
-                "per chunk: extract 1 HBM pass (%.0fms), sort ~91 "
-                "large-stride bitonic stages (%.0fms, VPU+HBM bound), "
+                "per chunk: extract 1 HBM pass (%.0fms), sort (%.0fms, "
+                "VPU-bound at an effective ~111G pair-stages/s), "
                 "RLE/compaction ~4 passes + 1 overlapped host sync "
                 "(%.0fms)" % (t_ext * 1e3, t_sort * 1e3, t_rle * 1e3)),
             "next_lever": (
-                "a hand-blocked Pallas bitonic sort (VMEM-resident 2^19 "
-                "blocks) bounds at ~86ms HBM + ~200ms VPU per 2^27 keys "
-                "vs ~460ms measured for XLA's sort - a ~1.5-2x sort-stage "
-                "ceiling; sharding scales linearly beyond that "
-                "(8 devices counted 8 shards concurrently in the r2/r3 "
-                "multichip dryruns)"),
+                "MEASURED OUT in r3: the hand-blocked Pallas bitonic "
+                "(ops/psort.py, bit-identical on chip) reaches only "
+                "~19-24G pair-stages/s per compare-exchange stage — 5x "
+                "below what XLA's own sort achieves — so the sort stays "
+                "lax.sort (PERF.md section 2); remaining scaling is "
+                "horizontal: each mesh device sorts its own hash shard "
+                "(8-device dryrun + 2-process x 4-device test)"),
         },
         "link_note": (
             "single-chip TPU behind a tunnel; e2e is link-bound "

@@ -45,18 +45,25 @@ class Component:
         return len(self.kmers)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@jax.jit
+def _mask_adjacency(idx_l, idx_r, pres_l, pres_r):
+    idx = jnp.concatenate([idx_l, idx_r], axis=0)
+    present = jnp.concatenate([pres_l, pres_r], axis=0)
+    return jnp.where(present, idx, -1)
+
+
 def adjacency(khi, klo, k: int):
     """[8, M] neighbor table indices (-1 = absent), canonical 8-neighborhood.
 
     Parity: KmerOperations.possibleNeighbours (src/algo/KmerOperations.java:9-27).
     Neighbor-major layout: an [M, 8] array's 8-wide minor dim pads to 128
-    lanes on TPU (16x HBM blowup); [8, M] is tight.
+    lanes on TPU (16x HBM blowup); [8, M] is tight.  Not one @jax.jit:
+    see dbg.neighbor_tables (inlining the merge-join lookups OOMs the
+    XLA compile helper).
     """
     t = dbg.neighbor_tables(khi, klo, k)
-    idx = jnp.concatenate([t["left"]["idx"], t["right"]["idx"]], axis=0)
-    present = jnp.concatenate([t["left"]["present"], t["right"]["present"]], axis=0)
-    return jnp.where(present, idx, -1)
+    return _mask_adjacency(t["left"]["idx"], t["right"]["idx"],
+                           t["left"]["present"], t["right"]["present"])
 
 
 @jax.jit

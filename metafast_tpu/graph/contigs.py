@@ -41,7 +41,6 @@ U32 = jnp.uint32
 CHARS = np.frombuffer(b"AGCT", dtype=np.uint8)
 
 
-@partial(jax.jit, static_argnames=("k",))
 def chain_structure(khi, klo, k: int):
     """Successor function + list ranking over oriented k-mer nodes.
 
@@ -53,11 +52,22 @@ def chain_structure(khi, klo, k: int):
       reached:  bool, node lies on a terminated chain (not in a cycle)
       is_start: bool, node is a chain head ("left end")
       last_nuc: [2M] final nucleotide of the oriented k-mer value
+
+    Not one @jax.jit: the neighbor-table lookups compile separately
+    (see dbg.neighbor_tables — one fused graph OOMs the compile helper).
     """
-    M = khi.shape[0]
     t = dbg.neighbor_tables(khi, klo, k)
     L, R = t["left"], t["right"]
-    extL_fw, extR_fw = L["ext"], R["ext"]
+    return _chain_from_tables(khi, klo, L["idx"], L["is_fw"], L["ext"],
+                              R["idx"], R["is_fw"], R["ext"], k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _chain_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
+                       R_idx, R_isfw, extR_fw, k: int):
+    M = khi.shape[0]
+    L = dict(idx=L_idx, is_fw=L_isfw)
+    R = dict(idx=R_idx, is_fw=R_isfw)
 
     rc_hi, rc_lo = bp.rc(khi, klo, k)
     pal = (rc_hi == khi) & (rc_lo == klo)

@@ -29,7 +29,33 @@ NONE = -1
 FORK = -2
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "side"))
+def _neighbor_values(khi, klo, k: int, side: str):
+    """Oriented neighbor values + canonical forms for one side: [4, M]."""
+    vh, vl = [], []
+    for nuc in range(4):
+        if side == "right":
+            h, l = bp.shift_right(khi, klo, U32(nuc), k)
+        else:
+            h, l = bp.shift_left(khi, klo, U32(nuc), k)
+        vh.append(h)
+        vl.append(l)
+    val_hi = jnp.stack(vh, axis=0)
+    val_lo = jnp.stack(vl, axis=0)
+    can_hi, can_lo = bp.canonical(val_hi, val_lo, k)
+    return val_hi, val_lo, can_hi, can_lo
+
+
+@jax.jit
+def _ext_codes(val_hi, val_lo, can_hi, can_lo, present, sent):
+    present = present & ~sent[None, :]
+    is_fw = (val_hi == can_hi) & (val_lo == can_lo)
+    deg = jnp.sum(present.astype(I32), axis=0)
+    uniq_nuc = jnp.argmax(present, axis=0).astype(I32)
+    ext = jnp.where(deg == 0, NONE, jnp.where(deg >= 2, FORK, uniq_nuc))
+    return is_fw, present, ext
+
+
 def neighbor_tables(khi, klo, k: int):
     """All neighbor data for a sorted canonical key table.
 
@@ -46,28 +72,21 @@ def neighbor_tables(khi, klo, k: int):
     tiled (8, 128) with the 4-wide minor dim padded to 128 lanes — a 32x
     HBM blowup (observed: 4 GB per table at M = 2^23); [4, M] pads only
     the 4 sublanes to 8 (2x).
+
+    Deliberately NOT one @jax.jit: inlining both sides' sort-merge
+    lookups (lookup._find_merge) plus the extension math into a single
+    graph OOM-killed the XLA compile helper at M = 2^21 on the TPU rig.
+    Each jitted sub-piece compiles (and caches) independently; callers
+    that need jit-traceable behavior still get it, since every sub-call
+    is itself jitted.
     """
+    sent = jnp.asarray(bp.is_sentinel(khi, klo))
     res = {}
     for side in ("left", "right"):
-        vh, vl = [], []
-        for nuc in range(4):
-            if side == "right":
-                h, l = bp.shift_right(khi, klo, U32(nuc), k)
-            else:
-                h, l = bp.shift_left(khi, klo, U32(nuc), k)
-            vh.append(h)
-            vl.append(l)
-        val_hi = jnp.stack(vh, axis=0)
-        val_lo = jnp.stack(vl, axis=0)
-        can_hi, can_lo = bp.canonical(val_hi, val_lo, k)
+        val_hi, val_lo, can_hi, can_lo = _neighbor_values(khi, klo, k, side)
         idx, present = lookup.find(khi, klo, can_hi, can_lo)
-        # don't let sentinel rows report neighbors
-        sent = bp.is_sentinel(khi, klo)[None, :]
-        present = present & ~sent
-        is_fw = (val_hi == can_hi) & (val_lo == can_lo)
-        deg = jnp.sum(present.astype(I32), axis=0)
-        uniq_nuc = jnp.argmax(present, axis=0).astype(I32)
-        ext = jnp.where(deg == 0, NONE, jnp.where(deg >= 2, FORK, uniq_nuc))
+        is_fw, present, ext = _ext_codes(val_hi, val_lo, can_hi, can_lo,
+                                         present, sent)
         res[side] = dict(val_hi=val_hi, val_lo=val_lo, idx=idx,
                          present=present, is_fw=is_fw, ext=ext)
     return res

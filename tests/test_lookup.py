@@ -87,3 +87,45 @@ def test_ffill_scan_long():
         exp_x[i] = cur if seen else 0
     np.testing.assert_array_equal(np.asarray(fv), exp_v)
     np.testing.assert_array_equal(np.asarray(fx)[exp_v], exp_x[exp_v])
+
+
+def test_neighbor_tables_merge_vs_binary_dispatch(monkeypatch):
+    """neighbor_tables above MERGE_MIN must equal the binary-search path.
+
+    The real dispatch flips at 2^20 queries (table >= 2^18 keys); to keep
+    CI light the threshold is patched instead of the table inflated.
+    The two calls use DIFFERENT sentinel paddings: lookup.find is jitted,
+    so identical shapes would replay the first trace's path and never
+    exercise the merge join.
+    """
+    import jax.numpy as jnp
+    from metafast_tpu.graph import dbg
+
+    rng = np.random.default_rng(5)
+    k = 15
+    n_keys = 5000
+    keys = np.sort(rng.choice(1 << (2 * k), n_keys, replace=False)
+                   .astype(np.uint64))
+
+    def table(pad):
+        hi = np.concatenate([(keys >> np.uint64(32)).astype(np.uint32),
+                             np.full(pad, bp.SENTINEL, np.uint32)])
+        lo = np.concatenate([(keys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                             np.full(pad, bp.SENTINEL, np.uint32)])
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    monkeypatch.setattr(lookup, "MERGE_MIN", 1 << 62)
+    t_bin = dbg.neighbor_tables(*table(16), k)
+    monkeypatch.setattr(lookup, "MERGE_MIN", 1)
+    t_mrg = dbg.neighbor_tables(*table(32), k)
+
+    for side in ("left", "right"):
+        for field in ("present", "ext", "is_fw"):
+            a = np.asarray(t_bin[side][field])[..., :n_keys]
+            b = np.asarray(t_mrg[side][field])[..., :n_keys]
+            np.testing.assert_array_equal(a, b, err_msg=f"{side}.{field}")
+        pb = np.asarray(t_bin[side]["present"])[..., :n_keys]
+        np.testing.assert_array_equal(
+            np.asarray(t_bin[side]["idx"])[..., :n_keys][pb],
+            np.asarray(t_mrg[side]["idx"])[..., :n_keys][pb],
+            err_msg=f"{side}.idx")
