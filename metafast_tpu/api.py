@@ -43,9 +43,86 @@ def get_default_mesh():
     return _default_mesh
 
 
+def _parse_whole(path: str, min_len: int):
+    """(codes, lengths, n_total, n_skipped) via native parse or the
+    python fallback, with min_len applied."""
+    from .io import native_reads
+
+    parsed = None
+    try:
+        parsed = native_reads.parse_file(path)
+    except Exception:
+        parsed = None
+    if parsed is None:
+        cs, ls = [], []
+        last = None
+        for batch in readsio.read_batches(path, min_len=min_len):
+            for i, ln in enumerate(batch.lengths):
+                cs.append(batch.codes[i, :ln])
+            ls.append(batch.lengths)
+            last = batch
+        codes = np.concatenate(cs) if cs else np.zeros(0, np.uint8)
+        lengths = (np.concatenate(ls).astype(np.int32) if ls
+                   else np.zeros(0, np.int32))
+        n_total = last.n_total if last is not None else 0
+        n_skip = last.n_skipped if last is not None else 0
+        return codes, lengths, n_total, n_skip
+    codes, lengths, skipped = parsed
+    total = len(lengths) + skipped
+    if min_len > 0 and len(lengths):
+        keep = lengths >= min_len
+        skipped += int((~keep).sum())
+        sel = np.repeat(keep, lengths)
+        codes, lengths = codes[sel], lengths[keep]
+    return codes, lengths, total, skipped
+
+
+def _parse_process_share(path: str, min_len: int, p: int, P: int):
+    """This process's share of one input file.
+
+    Preferred: a disjoint record-aligned byte range — each process parses
+    ~1/P of the bytes (the multi-host analog of the reference's byte
+    dispatcher, src/io/BytesDispatcher.java:39-67).  Formats that cannot
+    be range-split (compressed, binq) fall back to a full parse with a
+    contiguous read-range share (pack work still 1/P; parse duplicated).
+
+    Returns (codes, lengths, reads_acct, skipped_acct) — the accounting
+    fields sum to the global file totals across processes.
+    """
+    import os
+
+    from .io import native_reads
+
+    res = None
+    try:
+        sz = os.path.getsize(path)
+        res = native_reads.parse_file_range(path, p * sz // P,
+                                            (p + 1) * sz // P)
+    except Exception:
+        res = None
+    if res is not None:
+        codes, lengths, skipped = res
+        total = len(lengths) + skipped
+        if min_len > 0 and len(lengths):
+            keep = lengths >= min_len
+            skipped += int((~keep).sum())
+            sel = np.repeat(keep, lengths)
+            codes, lengths = codes[sel], lengths[keep]
+        return codes, lengths, total, skipped
+    codes, lengths, n_total, n_skip = _parse_whole(path, min_len)
+    n = len(lengths)
+    offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+    r0, r1 = n * p // P, n * (p + 1) // P
+    share_codes = codes[offs[r0]:offs[r1]]
+    share_lengths = lengths[r0:r1]
+    # whole-file totals are counted once (process 0)
+    return (share_codes, share_lengths,
+            n_total if p == 0 else 0, n_skip if p == 0 else 0)
+
+
 def count_reads_files_sharded(files: list[str], k: int, mesh,
                               min_len: int = 0, cap_factor: float = 2.0,
-                              progress=None):
+                              progress=None, spill: int | None = 1 << 27):
     """count_reads_files over a device mesh (parallel.ShardedKmerCounter).
 
     Read streams are data-parallel over the mesh; the k-mer key space is
@@ -53,77 +130,119 @@ def count_reads_files_sharded(files: list[str], k: int, mesh,
     striped maps, itmo BigLong2ShortHashMap.java:40-70).  Exchange
     buckets are sized exactly per consolidation (parallel/count.py
     _consolidate_stats), so shard overflow cannot occur.
+
+    Host pipeline: a background thread packs slab i+1 (build_stream C++)
+    while the devices count slab i — the dispatcher/worker overlap of
+    src/io/ReadsDispatcher.java:34-54, applied to the sharded path.  On
+    multi-process meshes each process parses only its own record-aligned
+    byte range of every file (_parse_process_share); slab shapes stay in
+    lockstep via one small per-file allgather of column counts.
     """
-    from .ops.stream_extract import build_stream
-    from .parallel.count import ShardedKmerCounter
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    from .ops.stream_extract import build_stream, stream_cols
+    from .parallel.count import ShardedKmerCounter, _allgather_sum
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    counter = ShardedKmerCounter(k, mesh, cap_factor=cap_factor)
+    counter = ShardedKmerCounter(k, mesh, cap_factor=cap_factor,
+                                 spill=spill)
+    multi = counter._multiproc
+    P = jax.process_count() if multi else 1
+    p = jax.process_index() if multi else 0
+    local_dev = max(n_dev // P, 1)
     n_reads = 0
     n_skipped = 0
     reads_done = 0
     kmers_est = 0
-    slab_codes = SLAB_CODES
-    for path in files:
-        from .io import native_reads
-        parsed = native_reads.parse_file(path)
-        if parsed is None:
-            # rare formats fall back to the python reader, flattened
-            cs, ls = [], []
-            last = None
-            for batch in readsio.read_batches(path, min_len=min_len):
-                for i, ln in enumerate(batch.lengths):
-                    cs.append(batch.codes[i, :ln])
-                ls.append(batch.lengths)
-                last = batch
-            codes = (np.concatenate(cs) if cs
-                     else np.zeros(0, np.uint8))
-            lengths = (np.concatenate(ls).astype(np.int32) if ls
-                       else np.zeros(0, np.int32))
-            if last is not None:
-                n_reads += last.n_total
-                n_skipped += last.n_skipped
-        else:
-            codes, lengths, skipped = parsed
-            total = len(lengths) + skipped
-            if min_len > 0 and len(lengths):
-                keep = lengths >= min_len
-                skipped += int((~keep).sum())
-                sel = np.repeat(keep, lengths)
-                codes, lengths = codes[sel], lengths[keep]
-            n_reads += total
-            n_skipped += skipped
-        offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
-        lane_mult = n_dev * (128 if offs[-1] >= (1 << 22) else 8)
+    local_slab = max(SLAB_CODES // P, 1)
+
+    def _slab_plan(lengths, offs):
+        """[(r0, r1)] read ranges with <= local_slab codes each."""
+        cuts = []
         r0 = 0
         while r0 < len(lengths):
-            r1 = int(np.searchsorted(offs, offs[r0] + slab_codes,
+            r1 = int(np.searchsorted(offs, offs[r0] + local_slab,
                                      side="right")) - 1
             r1 = min(max(r1, r0 + 1), len(lengths))
-            words, vmask, _ = build_stream(
-                codes[offs[r0]:offs[r1]], lengths[r0:r1], k,
-                lane_multiple=lane_mult)
-            if counter._multiproc:
-                # every process runs this loop in lockstep over the same
-                # (shared-storage) inputs and feeds its contiguous share
-                # of the slab; process 0 carries the k-mer accounting
-                # (finish() allgather-sums it)
-                import jax
-                share = words.shape[0] // jax.process_count()
-                p = jax.process_index()
-                sl = slice(p * share, (p + 1) * share)
-                acct = lengths[r0:r1] if p == 0 else lengths[:0]
-                counter.add_stream(words[sl], vmask[sl], acct)
-            else:
-                counter.add_stream(words, vmask, lengths[r0:r1])
-            if progress is not None:
-                reads_done += r1 - r0
-                kmers_est += int(np.maximum(
-                    lengths[r0:r1].astype(np.int64) - (k - 1), 0).sum())
-                progress(dict(path=path, reads=reads_done,
-                              kmers=kmers_est))
+            cuts.append((r0, r1))
             r0 = r1
+        return cuts
+
+    with ThreadPoolExecutor(1) as pool:
+        for path in files:
+            if multi:
+                codes, lengths, racct, sacct = _parse_process_share(
+                    path, min_len, p, P)
+                n_reads += racct
+                n_skipped += sacct
+            else:
+                codes, lengths, racct, sacct = _parse_whole(path, min_len)
+                n_reads += racct
+                n_skipped += sacct
+            offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+            cuts = _slab_plan(lengths, offs)
+            if multi:
+                # one small DCN allgather keeps slab shapes in lockstep:
+                # lane unit from the GLOBAL code volume, per-slab column
+                # targets = max over processes
+                total_codes = _allgather_sum(int(offs[-1]))
+                unit = 128 if total_codes >= (1 << 22) else 8
+                lane_mult = local_dev * unit
+                cols = np.array(
+                    [stream_cols(int(offs[r1] - offs[r0]), lane_mult)
+                     for r0, r1 in cuts], dtype=np.int32)
+                from jax.experimental import multihost_utils
+                cnt = multihost_utils.process_allgather(
+                    np.array([len(cols)], np.int32))
+                m = int(np.asarray(cnt).max())
+                buf = np.zeros(m, np.int32)
+                buf[:len(cols)] = cols
+                allc = np.asarray(multihost_utils.process_allgather(buf))
+                targets = allc.reshape(P, m).max(axis=0)
+                cuts = cuts + [(len(lengths), len(lengths))] * (m - len(cuts))
+            else:
+                unit = 128 if offs[-1] >= (1 << 22) else 8
+                lane_mult = n_dev * unit
+                targets = [0] * len(cuts)
+
+            def _prepare(r0, r1, min_cols):
+                return build_stream(codes[offs[r0]:offs[r1]],
+                                    lengths[r0:r1], k,
+                                    lane_multiple=lane_mult,
+                                    min_cols=int(min_cols))
+
+            pending = None
+            for (r0, r1), tgt in zip(cuts, targets):
+                fut = pool.submit(_prepare, r0, r1, tgt)
+                if pending is not None:
+                    (pr0, pr1), pfut = pending
+                    words, vmask, _ = pfut.result()
+                    counter.add_stream(words, vmask, lengths[pr0:pr1])
+                    if progress is not None:
+                        reads_done += pr1 - pr0
+                        kmers_est += int(np.maximum(
+                            lengths[pr0:pr1].astype(np.int64) - (k - 1),
+                            0).sum())
+                        progress(dict(path=path, reads=reads_done,
+                                      kmers=kmers_est))
+                pending = ((r0, r1), fut)
+            if pending is not None:
+                (pr0, pr1), pfut = pending
+                words, vmask, _ = pfut.result()
+                counter.add_stream(words, vmask, lengths[pr0:pr1])
+                if progress is not None:
+                    reads_done += pr1 - pr0
+                    kmers_est += int(np.maximum(
+                        lengths[pr0:pr1].astype(np.int64) - (k - 1),
+                        0).sum())
+                    progress(dict(path=path, reads=reads_done,
+                                  kmers=kmers_est))
     keys, counts = counter.finish()
+    if multi:
+        n_reads = _allgather_sum(n_reads)
+        n_skipped = _allgather_sum(n_skipped)
     stats = dict(reads=n_reads, skipped=n_skipped,
                  kmers_seen=counter.total_kmers_seen, unique=len(keys))
     return keys, counts, stats

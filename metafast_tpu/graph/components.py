@@ -115,16 +115,36 @@ def connected_labels(nbr: jnp.ndarray, active: jnp.ndarray) -> np.ndarray:
 
 def split_components(keys64: np.ndarray, counts: np.ndarray, k: int,
                      b1: int, b2: int) -> list[Component]:
-    """Full size-window component splitting over a counted k-mer table."""
+    """Full size-window component splitting over a counted k-mer table.
+
+    With a default mesh set (api.set_default_mesh, >1 devices) the label
+    fixed points route through the edge-cut sharded star contraction
+    (parallel/components.py) — the whole-pipeline scaling the reference
+    gets from striped maps (itmo BigLong2ShortHashMap.java:40-70); the
+    single-device path is unchanged otherwise.
+    """
     M0 = len(keys64)
     if M0 == 0:
         return []
+    from .. import api
+
+    mesh = api.get_default_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.components import sharded_connected_labels
+
+        labels_fn = lambda nbr, active: sharded_connected_labels(
+            np.asarray(nbr), np.asarray(active), mesh)
+        return _split_components_impl(keys64, counts, k, b1, b2, labels_fn)
     from ..utils.device import small_scope
     with small_scope(M0 * 16):
-        return _split_components_impl(keys64, counts, k, b1, b2)
+        return _split_components_impl(keys64, counts, k, b1, b2,
+                                      connected_labels)
 
 
-def _split_components_impl(keys64, counts, k, b1, b2):
+def _split_components_impl(keys64, counts, k, b1, b2,
+                           labels_fn=None):
+    if labels_fn is None:
+        labels_fn = connected_labels
     M0 = len(keys64)
     M = 1 << max(4, int(np.ceil(np.log2(M0))))
     khi = np.full(M, bp.SENTINEL, dtype=np.uint32)
@@ -143,7 +163,7 @@ def _split_components_impl(keys64, counts, k, b1, b2):
     out: list[Component] = []
 
     while active.any():
-        labels = connected_labels(nbr, jnp.asarray(active))
+        labels = labels_fn(nbr, jnp.asarray(active))
         act_idx = np.nonzero(active)[0]
         roots = labels[act_idx]
         order = np.argsort(roots, kind="stable")

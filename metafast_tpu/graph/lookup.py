@@ -63,71 +63,70 @@ def lower_bound(table_hi, table_lo, qhi, qlo):
 MERGE_MIN = 1 << 20
 
 
-def _ffill_comb(a, b):
-    """Last-valid-wins combine for the forward fill (associative)."""
-    bv = b[0]
-    return (a[0] | bv,) + tuple(
-        jnp.where(bv, bx, ax) for ax, bx in zip(a[1:], b[1:]))
-
-
-def _ffill_scan(elems):
-    """Inclusive left-to-right last-valid fill of (valid, x1, x2, ...).
-
-    Row-decomposed: a flat 1D associative_scan's TPU compile time grows
-    superlinearly with length (same hazard as ops.count._cumsum_flat)."""
-    n = elems[0].shape[0]
-    C = 1024
-    if n % C or n <= 8 * C:
-        return jax.lax.associative_scan(_ffill_comb, elems)
-    e2 = tuple(x.reshape(n // C, C) for x in elems)
-    s = jax.lax.associative_scan(_ffill_comb, e2, axis=1)
-    carry = _ffill_scan(tuple(x[:, -1] for x in s))
-    shift = lambda x, fill: jnp.concatenate(
-        [jnp.full((1,), fill, x.dtype), x[:-1]])
-    c = (shift(carry[0], False),) + tuple(
-        shift(x, 0) for x in carry[1:])
-    out = _ffill_comb(tuple(x[:, None] for x in c), s)
-    return tuple(x.reshape(n) for x in out)
-
-
 @jax.jit
-def _find_merge(table_hi, table_lo, qhi, qlo):
-    """Bulk (index, found) via one tagged sort + fill + restore sort."""
+def _merge_rank(table_hi, table_lo, qh, ql):
+    """Tagged 3-key sort + rank prefix sum + restore sort.
+
+    Because the table's keys are unique and sorted, the r-th table entry
+    in the merged sorted order is exactly row r of the original table —
+    so the classic forward fill of (index, key) collapses to a plain
+    prefix sum rank = cumsum(is_table) - 1 (ops.count._cumsum_flat, the
+    compile-bounded decomposition already proven at 2^27 in the counting
+    core).  The r3 formulation carried a 4-tuple through a row-decomposed
+    associative_scan instead; its XLA compile ran minutes and OOM-killed
+    the remote TPU compile helper at 2^22 (BENCH_r03 graph_stages_error —
+    measured directly in scratch/find_merge_probe.py).
+    """
+    from ..ops.count import _cumsum_flat
+
     T = table_hi.shape[0]
-    shape = qhi.shape
-    qh = qhi.reshape(-1)
-    ql = qlo.reshape(-1)
     Q = qh.shape[0]
     chi = jnp.concatenate([table_hi, qh])
     clo = jnp.concatenate([table_lo, ql])
     src = jnp.concatenate([jnp.arange(T, dtype=I32),
                            jnp.arange(Q, dtype=I32) + T])
     # src as third key: a table entry sorts BEFORE equal-key queries
-    shi, slo, ssrc = jax.lax.sort((chi, clo, src), num_keys=3,
-                                  is_stable=False)
+    _shi, _slo, ssrc = jax.lax.sort((chi, clo, src), num_keys=3,
+                                    is_stable=False)
     is_tab = ssrc < T
-    fv, fidx, fhi, flo = _ffill_scan((
-        is_tab,
-        jnp.where(is_tab, ssrc, 0),
-        jnp.where(is_tab, shi, U32(0)),
-        jnp.where(is_tab, slo, U32(0))))
-    hit = fv & (fhi == shi) & (flo == slo)
-    res = jnp.where(hit, fidx, -1)
+    rank = _cumsum_flat(is_tab.astype(I32)) - 1   # last table row <= pos
     # restore original order: src is unique, one 1-key sort
-    _, res2 = jax.lax.sort((ssrc, res), num_keys=1, is_stable=False)
-    qres = jax.lax.slice_in_dim(res2, T, T + Q)
-    found = (qres >= 0) & ~bp.is_sentinel(qh, ql)
-    safe = jnp.clip(qres, 0, T - 1)
-    return safe.reshape(shape), found.reshape(shape)
+    _, rres = jax.lax.sort((ssrc, rank), num_keys=1, is_stable=False)
+    return jax.lax.slice_in_dim(rres, T, T + Q)
 
 
 @jax.jit
+def _merge_verify(table_hi, table_lo, qh, ql, qrank):
+    """found iff the candidate table row holds the query key (2 gathers)."""
+    T = table_hi.shape[0]
+    safe = jnp.clip(qrank, 0, T - 1)
+    found = ((qrank >= 0) & (table_hi[safe] == qh) & (table_lo[safe] == ql)
+             & ~bp.is_sentinel(qh, ql))
+    return safe, found
+
+
+def _find_merge(table_hi, table_lo, qhi, qlo):
+    """Bulk (index, found) via sort-merge join.
+
+    Two jit stages (rank, verify) — kept separate so each remote TPU
+    compile stays small (see graph/dbg.py for the same discipline)."""
+    shape = qhi.shape
+    qh = qhi.reshape(-1)
+    ql = qlo.reshape(-1)
+    qrank = _merge_rank(table_hi, table_lo, qh, ql)
+    safe, found = _merge_verify(table_hi, table_lo, qh, ql, qrank)
+    return safe.reshape(shape), found.reshape(shape)
+
+
 def find(table_hi, table_lo, qhi, qlo):
     """(index, found) per query; index clipped into range, found bool.
 
     Where found is False the index is arbitrary (but in range) — callers
     mask by `found` before use.  Bulk queries route to the sort-merge
     join; small ones to binary search (lower dispatch+sort overhead).
+    NOT itself @jax.jit: the merge path runs as separately-jitted stages
+    so each remote TPU compile stays small; calling `find` under an
+    outer jit would fuse them back into one compile.
     """
     n = table_hi.shape[0]
     q = 1

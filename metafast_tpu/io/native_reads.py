@@ -34,6 +34,8 @@ def parse_file(path: str) -> tuple[np.ndarray, np.ndarray, int] | None:
         raw = open(path, "rb").read()
     text = np.frombuffer(raw, dtype=np.uint8)
     n = len(text)
+    global PARSED_BYTES
+    PARSED_BYTES += n
     codes = np.empty(n, dtype=np.uint8)
     max_reads = n // 2 + 16
     lengths = np.empty(max_reads, dtype=np.int32)
@@ -44,6 +46,110 @@ def parse_file(path: str) -> tuple[np.ndarray, np.ndarray, int] | None:
     cp = codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     lp = lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
+    if fmt == "fasta":
+        n_reads = lib.parse_fasta(tp, n, cp, n, lp, max_reads,
+                                  ctypes.byref(skipped),
+                                  ctypes.byref(consumed))
+    else:
+        offset = pyreads._detect_quality_format(path)
+        n_reads = lib.parse_fastq(tp, n, offset, cp, n, lp, max_reads,
+                                  ctypes.byref(skipped),
+                                  ctypes.byref(consumed))
+    lengths = lengths[:n_reads].copy()
+    codes = codes[: int(lengths.sum())].copy()
+    return codes, lengths, int(skipped.value)
+
+
+# bytes parsed by this process via parse_file/parse_file_range since
+# import — instrumentation for the per-host partitioning tests
+PARSED_BYTES = 0
+
+
+def record_boundary(path: str, pos: int) -> int | None:
+    """Snap a byte offset FORWARD to the next record start (>= pos).
+
+    The multi-host analog of the reference's record-aligned byte ranges
+    (src/io/BytesDispatcher.java:39-67): every process applies this same
+    deterministic snap to its range endpoints, so ranges partition the
+    file exactly.  Uncompressed FASTA/FASTQ only; returns None when the
+    format cannot be range-split (caller falls back to a full parse).
+    """
+    import os
+
+    fmt, comp = pyreads.detect_format(path)
+    if comp or fmt not in ("fasta", "fastq"):
+        return None
+    size = os.path.getsize(path)
+    if pos <= 0:
+        return 0
+    if pos >= size:
+        return size
+    with open(path, "rb") as fh:
+        fh.seek(max(pos - 1, 0))
+        if fmt == "fasta":
+            # record start = '>' at a line start
+            window = 1 << 16
+            off = max(pos - 1, 0)
+            tail = b""
+            while off < size:
+                buf = tail + fh.read(window)
+                hit = buf.find(b"\n>")
+                if hit >= 0:
+                    return off - len(tail) + hit + 1
+                tail = buf[-1:]
+                off += window
+            return size
+        # FASTQ: 4-line records; a line L is a record start iff it begins
+        # with '@', line L+2 begins with '+', and len(seq) == len(qual)
+        # (the standard disambiguation — '@' may open quality lines)
+        window = 1 << 16
+        for attempt in range(4):
+            fh.seek(max(pos - 1, 0))
+            buf = fh.read(window << attempt)
+            starts = [i + 1 for i, ch in enumerate(buf[:-1])
+                      if ch == 0x0A]
+            for si in range(len(starts) - 4):
+                a, b, c, d, e = starts[si:si + 5]
+                if (buf[a:a + 1] == b"@" and buf[c:c + 1] == b"+"
+                        and (b - a) == (e - d)):
+                    return max(pos - 1, 0) + a
+            if max(pos - 1, 0) + len(buf) >= size:
+                return size
+        return None
+
+
+def parse_file_range(path: str, start: int, end: int
+                     ) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """parse_file restricted to the record-aligned byte range that the
+    deterministic snap maps [start, end) onto.  None = not range-splittable
+    (compressed / unusual format) or native library unavailable."""
+    global PARSED_BYTES
+    lib = load_library()
+    if lib is None:
+        return None
+    beg = record_boundary(path, start)
+    if beg is None:
+        return None
+    fin = record_boundary(path, end)
+    if fin is None or fin < beg:
+        return None
+    if fin == beg:
+        return (np.zeros(0, np.uint8), np.zeros(0, np.int32), 0)
+    fmt, _comp = pyreads.detect_format(path)
+    with open(path, "rb") as fh:
+        fh.seek(beg)
+        raw = fh.read(fin - beg)
+    text = np.frombuffer(raw, dtype=np.uint8)
+    n = len(text)
+    PARSED_BYTES += n
+    codes = np.empty(n, dtype=np.uint8)
+    max_reads = n // 2 + 16
+    lengths = np.empty(max_reads, dtype=np.int32)
+    skipped = ctypes.c_int64(0)
+    consumed = ctypes.c_int64(0)
+    tp = text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    cp = codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lp = lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     if fmt == "fasta":
         n_reads = lib.parse_fasta(tp, n, cp, n, lp, max_reads,
                                   ctypes.byref(skipped),

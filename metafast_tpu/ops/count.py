@@ -567,6 +567,7 @@ class KmerCounter:
         self._spilled: list = []    # host (keys int64, counts int32) tables
         self._spill_futures: list = []   # in-flight background fetches
         self._spill_pool = None
+        self.spill_events = 0       # observability: levels moved to host
         self._total_host = 0
         self._total_dev: list = []  # deferred device scalars
 
@@ -706,6 +707,7 @@ class KmerCounter:
 
             if self._spill_pool is None:
                 self._spill_pool = ThreadPoolExecutor(1)
+            self.spill_events += 1
             self._spill_futures.append(
                 self._spill_pool.submit(_fetch_table, table))
         else:

@@ -82,8 +82,15 @@ def _vmem_stages(arrs, stages, gbase, R):
             up = tuple(pltpu.roll(a, R - m, 0) for a in arrs)
             dn = tuple(pltpu.roll(a, m, 0) for a in arrs)
         parrs = tuple(jnp.where(is_lo, u, w) for u, w in zip(up, dn))
-        lt = _cmp_lt(arrs[0], arrs[1], parrs[0], parrs[1])
-        take_self = lt == (is_lo == dir_up)
+        lt = _cmp_lt(arrs[0], arrs[1], parrs[0], parrs[1])   # self < partner
+        gt = _cmp_lt(parrs[0], parrs[1], arrs[0], arrs[1])   # partner < self
+        # Ties (equal keys) must keep BOTH positions in place: the lo/hi
+        # selects here are independent (roll-based), so a `lt == dir`
+        # comparator would make one side take the partner while the other
+        # keeps itself — duplicating one payload and destroying the other
+        # whenever keys collide.  lo keeps self iff self <= partner; hi
+        # keeps self iff self >= partner.
+        take_self = jnp.where(is_lo == dir_up, ~gt, ~lt)
         arrs = tuple(jnp.where(take_self, a, p)
                      for a, p in zip(arrs, parrs))
     return arrs

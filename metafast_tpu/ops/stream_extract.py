@@ -204,20 +204,31 @@ def stream_extract(words_cm, vmask_cm, k: int):
 # Host-side layout
 # ---------------------------------------------------------------------------
 
+def stream_cols(n_codes: int, lane_multiple: int = LANE_TILE) -> int:
+    """Column count build_stream will emit for n_codes codes — exposed so
+    multi-process callers can agree on a common min_cols up front."""
+    n_words = -(-n_codes // 16) if n_codes else 0
+    n_cols = max(1, -(-n_words // PAYLOAD))
+    return -(-n_cols // lane_multiple) * lane_multiple
+
+
 def build_stream(codes: np.ndarray, lengths: np.ndarray, k: int,
-                 lane_multiple: int = LANE_TILE):
+                 lane_multiple: int = LANE_TILE, min_cols: int = 0):
     """Pack flat read codes into overlapping word columns + validity mask.
 
     codes: concatenated uint8 codes of all reads (the native parser's
     output); lengths: per-read int32.  Returns (col_w, col_v, n_valid):
     u32 arrays [C, ROWS] (column-major — the device transposes, host
     transposes cost real time at 100M-base scale) with C a multiple of
-    `lane_multiple`.  Uses the C++ single-pass packer when available;
-    the NumPy fallback below is the executable spec.
+    `lane_multiple` and >= `min_cols` (extra columns carry zero vmask —
+    multi-process feeds use this to keep per-process slab shapes in
+    lockstep without parsing each other's bytes).  Uses the C++
+    single-pass packer when available; the NumPy fallback below is the
+    executable spec.
     """
     n = int(codes.shape[0])
     n_words = -(-n // 16) if n else 0
-    n_cols = max(1, -(-n_words // PAYLOAD))
+    n_cols = max(1, -(-n_words // PAYLOAD), min_cols)
     n_cols = -(-n_cols // lane_multiple) * lane_multiple
     n_valid = int(np.maximum(
         lengths.astype(np.int64) - (k - 1), 0).sum()) if len(lengths) else 0

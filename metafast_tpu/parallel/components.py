@@ -58,8 +58,14 @@ def _ffill_last_valid(x):
     comb = lambda a, b: jnp.where(b >= 0, b, a)
     n = x.shape[0]
     C = 1024
-    if n % C or n <= 8 * C:
+    if n <= 8 * C:
         return jax.lax.associative_scan(comb, x)
+    if n % C:
+        # pad with inert (-1) entries instead of falling back to the flat
+        # scan, whose compile time is superlinear at large n
+        r = C - n % C
+        return _ffill_last_valid(
+            jnp.concatenate([x, jnp.full((r,), -1, x.dtype)]))[:n]
     x2 = x.reshape(n // C, C)
     s = jax.lax.associative_scan(comb, x2, axis=1)
     carry = _ffill_last_valid(s[:, -1])
@@ -244,8 +250,24 @@ def sharded_connected_labels(nbr: np.ndarray, active: np.ndarray,
         loc_v[s, : counts[s]] = ev[sel]
 
     sharding = jax.NamedSharding(mesh, P(AXIS))
-    deu = jax.device_put(loc_u, sharding)
-    dev = jax.device_put(loc_v, sharding)
+    # does the mesh span processes (cross-host DCN)?  inputs are
+    # replicated on every process (each built the same edge list), so
+    # feed each process its addressable row block and gather results
+    # back with a DCN allgather at the end
+    multiproc = jax.process_count() > 1 and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat)
+    if multiproc:
+        pidx = np.array([d.process_index for d in mesh.devices.flat])
+        assert (np.diff(pidx) >= 0).all(), (
+            "sharded_connected_labels expects process-contiguous mesh rows")
+        mine = np.nonzero(pidx == jax.process_index())[0]
+        deu = jax.make_array_from_process_local_data(
+            sharding, loc_u[mine], (n, cap0))
+        dev = jax.make_array_from_process_local_data(
+            sharding, loc_v[mine], (n, cap0))
+    else:
+        deu = jax.device_put(loc_u, sharding)
+        dev = jax.device_put(loc_v, sharding)
 
     # --- star-contraction rounds ---------------------------------------
     prev_fp = None
@@ -255,8 +277,10 @@ def sharded_connected_labels(nbr: np.ndarray, active: np.ndarray,
         nu, nv, maxb = _round_stats(deu, dev, mesh=mesh, large=large)
         cap = max(16, _pow2(int(maxb)))
         deu, dev, stats = _round_exchange(nu, nv, mesh=mesh, cap=cap)
-        # trim to the live edge bound (keeps round shapes from growing)
-        stats0 = np.asarray(stats[0])
+        # trim to the live edge bound (keeps round shapes from growing);
+        # stats rows are replicated (psum/pmax) — read a LOCAL shard, the
+        # global row 0 may live on another process
+        stats0 = np.asarray(stats.addressable_shards[0].data)[0]
         fp = (int(stats0[0]), int(stats0[1]))
         width = _pow2(max(int(stats0[2]), 16))
         if width < deu.shape[1]:
@@ -274,8 +298,22 @@ def sharded_connected_labels(nbr: np.ndarray, active: np.ndarray,
         raise RuntimeError("star contraction did not converge")
 
     # --- labels from the final star forest ------------------------------
-    fu = np.asarray(deu).reshape(-1)
-    fv = np.asarray(dev).reshape(-1)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        def _gather(a):
+            loc = np.concatenate(
+                [np.asarray(s.data).reshape(-1)
+                 for s in sorted(a.addressable_shards,
+                                 key=lambda s: s.index[0].start or 0)])
+            return np.asarray(
+                multihost_utils.process_allgather(loc)).reshape(-1)
+
+        fu = _gather(deu)
+        fv = _gather(dev)
+    else:
+        fu = np.asarray(deu).reshape(-1)
+        fv = np.asarray(dev).reshape(-1)
     live = fu != VSENT
     labels = np.where(active, np.arange(M, dtype=np.int64), M)
     np.minimum.at(labels, fu[live].astype(np.int64),

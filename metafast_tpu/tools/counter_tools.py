@@ -138,7 +138,8 @@ class KmersPerSampleCounterTool(Tool):
         files = self.get("k-mers")
         tables = pres.load_sample_tables(files, 0)
         all_keys = pres.union_keys(tables)
-        n_present = pres.presence_matrix(tables, all_keys).sum(axis=1)
+        (n_present,) = pres.group_presence_counts(tables, all_keys,
+                                                  [len(files)])
         thresh = len(files) * self.get("percent-present") // 100
         sel = n_present >= thresh
         keys = all_keys[sel]
@@ -146,7 +147,7 @@ class KmersPerSampleCounterTool(Tool):
         out_dir = self.get("output-dir")
         out_dir.mkdir(parents=True, exist_ok=True)
         out_file = out_dir / f"selected_kmers_{self.get('percent-present')}.txt"
-        counts = pres.count_matrix(tables, all_keys)[sel]
+        counts = pres.count_matrix(tables, keys)
         with open(out_file, "w") as fh:
             fh.write("".join("\t" + s for s in kmers_strings(keys, k)) + "\n")
             for j, f in enumerate(files):

@@ -25,10 +25,13 @@ def _workdir_sub(name):
 
 
 def _load_group_tables(files, b):
-    """Presence tables (count > b) and frequency tables (all records)."""
-    pres_tabs = pres.load_sample_tables(files, b)
-    freq_tabs = pres.load_sample_tables(files, 0)
-    totals = np.array([t[1].sum() for t in freq_tabs], dtype=np.float64)
+    """Presence tables (count > b) and frequency tables (all records).
+
+    Lazy: each returned table set streams one sample file at a time, so
+    peak memory stays O(union keys) + one sample even at CAMI scale."""
+    pres_tabs = pres.LazyTables(files, b)
+    freq_tabs = pres.LazyTables(files, 0)
+    totals = pres.sample_totals(freq_tabs)
     return pres_tabs, freq_tabs, totals
 
 
@@ -68,9 +71,11 @@ class StatsKmersTool(Tool):
         a_pres, a_freq, a_tot = _load_group_tables(a_files, b)
         b_pres, b_freq, b_tot = _load_group_tables(b_files, b)
         keys = pres.union_keys(a_pres + b_pres)
-        P = pres.presence_matrix(a_pres + b_pres, keys)
-        n1A = P[:, :SA].sum(axis=1)
-        n1B = P[:, SA:].sum(axis=1)
+        # chunked per-group presence counts: no [N, S] matrix is ever
+        # densified (CAMI-scale N x 9 bytes/cell would be 100s of GB; the
+        # reference spends ~1 bit, Long2BitShortaHashMap.java:13-120)
+        n1A, n1B = pres.group_presence_counts(a_pres + b_pres, keys,
+                                              [SA, SB])
         n = len(keys)
 
         scarce = (n1A + n1B) <= math.ceil(total * 0.05)
@@ -92,11 +97,12 @@ class StatsKmersTool(Tool):
                   f"(of {n}; {int(scarce.sum())} scarce, "
                   f"{int(in_all.sum())} in all samples)")
 
-        # depth-normalized frequencies over the surviving keys
-        # (StatsKmersFinder.java:222-247)
+        # depth-normalized frequencies over the surviving keys only
+        # (StatsKmersFinder.java:222-247) — count matrices are densified
+        # for the chi-squared SURVIVORS, never the full union
         mean_sum = float(np.concatenate([a_tot, b_tot]).sum()) / total
-        A = pres.count_matrix(a_freq, keys)[eligible & passed].astype(np.float64)
-        B = pres.count_matrix(b_freq, keys)[eligible & passed].astype(np.float64)
+        A = pres.count_matrix(a_freq, chi_keys).astype(np.float64)
+        B = pres.count_matrix(b_freq, chi_keys).astype(np.float64)
         A = A * mean_sum / a_tot[None, :]
         B = B * mean_sum / b_tot[None, :]
 
@@ -156,10 +162,10 @@ class _StatsKmers3Base(Tool):
             freq_tabs.append(f_)
             tots.append(t_)
 
-        keys = pres.union_keys([t for g in pres_tabs for t in g])
-        P = pres.presence_matrix([t for g in pres_tabs for t in g], keys)
-        o = np.cumsum([0] + sizes)
-        n1 = [P[:, o[i]:o[i + 1]].sum(axis=1) for i in range(3)]
+        all_pres = pres_tabs[0] + pres_tabs[1] + pres_tabs[2]
+        keys = pres.union_keys(all_pres)
+        # streaming per-group presence counts (no dense [N, S] matrix)
+        n1 = pres.group_presence_counts(all_pres, keys, sizes)
 
         present_total = n1[0] + n1[1] + n1[2]
         scarce = present_total <= math.ceil(total * 0.05)
@@ -185,7 +191,8 @@ class _StatsKmers3Base(Tool):
         mean_sum = float(np.concatenate(tots).sum()) / total
         mats = []
         for gi in range(3):
-            M = pres.count_matrix(freq_tabs[gi], keys)[sel].astype(np.float64)
+            # densify only the chi-squared survivors
+            M = pres.count_matrix(freq_tabs[gi], chi_keys).astype(np.float64)
             mats.append(M * mean_sum / tots[gi][None, :])
         A, B, C = mats
 
@@ -252,16 +259,15 @@ class _SpecificKmersBase(Tool):
         total = sum(sizes)
         files = [f for g in groups for f in g]
 
-        tabs = pres.load_sample_tables(files, 0)
+        tabs = pres.LazyTables(files, 0)
         keys = pres.union_keys(tabs)
-        C = pres.count_matrix(tabs, keys)          # [N, total]
         o = np.cumsum([0] + sizes)
-        mats = [C[:, o[i]:o[i + 1]].astype(np.float64) for i in range(len(sizes))]
-        n1 = [(m > 0).sum(axis=1) for m in mats]
+        # chunked presence counts + first-present value: the full union
+        # is never densified into an [N, S] matrix
+        n1 = pres.group_presence_counts(tabs, keys, sizes)
 
         # scarce test value: count in the first sample containing the key
-        first_idx = np.argmax(C > 0, axis=1)
-        first_val = C[np.arange(len(keys)), first_idx]
+        first_val = pres.first_present_value(tabs, keys)
         scarce = first_val <= math.ceil(total * 0.05)
 
         if self.N_GROUPS == 2:
@@ -277,36 +283,42 @@ class _SpecificKmersBase(Tool):
         passed = passed | in_all
         keep = ~scarce & passed
 
+        # densify frequency rows for the SURVIVORS only
+        sel = np.nonzero(keep)[0]
+        skeys = keys[sel]
+        mats = [pres.count_matrix(tabs[o[i]:o[i + 1]], skeys
+                                  ).astype(np.float64)
+                for i in range(len(sizes))]
+
         pmw = self.get("p-value-mw")
-        if pmw > 0 and keep.any():
-            sel = np.nonzero(keep)[0]
+        if pmw > 0 and len(sel):
             if self.N_GROUPS == 2:
-                p = mannwhitney_p_rows(mats[0][sel], mats[1][sel])
+                p = mannwhitney_p_rows(mats[0], mats[1])
                 mw_pass = p <= pmw
             else:
-                pab = mannwhitney_p_rows(mats[0][sel], mats[1][sel])
-                pbc = mannwhitney_p_rows(mats[1][sel], mats[2][sel])
-                pac = mannwhitney_p_rows(mats[0][sel], mats[2][sel])
+                pab = mannwhitney_p_rows(mats[0], mats[1])
+                pbc = mannwhitney_p_rows(mats[1], mats[2])
+                pac = mannwhitney_p_rows(mats[0], mats[2])
                 mw_pass = (pab < pmw) | (pbc < pmw) | (pac < pmw)
-            keep2 = np.zeros(len(keys), dtype=bool)
-            keep2[sel[mw_pass]] = True
-            keep = keep2
+        else:
+            mw_pass = np.ones(len(sel), dtype=bool)
 
         means = [m.mean(axis=1) for m in mats]
         out_dir = self.get("output-dir")
         out_dir.mkdir(parents=True, exist_ok=True)
         outs = []
         if self.N_GROUPS == 2:
-            to_a = keep & (means[0] > means[1])
-            masks = [to_a, keep & ~to_a]
+            to_a = mw_pass & (means[0] > means[1])
+            masks = [to_a, mw_pass & ~to_a]
         else:
-            to_a = keep & (means[0] > means[1]) & (means[0] > means[2])
-            to_b = keep & ~to_a & (means[1] > means[0]) & (means[1] > means[2])
-            masks = [to_a, to_b, keep & ~to_a & ~to_b]
+            to_a = mw_pass & (means[0] > means[1]) & (means[0] > means[2])
+            to_b = (mw_pass & ~to_a & (means[1] > means[0])
+                    & (means[1] > means[2]))
+            masks = [to_a, to_b, mw_pass & ~to_a & ~to_b]
         for gi, mask in enumerate(masks):
             label = "ABC"[gi]
             fp = out_dir / f"filtered_group{label}.kmers.bin"
-            _write_group_file(fp, keys[mask], means[gi][mask])
+            _write_group_file(fp, skeys[mask], means[gi][mask])
             self.info(f"Total specific k-mers in Group {label} = "
                       f"{int(mask.sum())}")
             outs.append(str(fp))
@@ -382,11 +394,9 @@ class TopStatsKmersTool(Tool):
         total = sum(sizes)
         files = [f for g in groups for f in g]
 
-        tabs = pres.load_sample_tables(files, b)
+        tabs = pres.LazyTables(files, b)
         keys = pres.union_keys(tabs)
-        P = pres.presence_matrix(tabs, keys)
-        o = np.cumsum([0] + sizes)
-        n1 = [P[:, o[i]:o[i + 1]].sum(axis=1) for i in range(len(sizes))]
+        n1 = pres.group_presence_counts(tabs, keys, sizes)
         present = sum(n1)
         eligible = (present > math.ceil(total * 0.05)) & (present != total)
 

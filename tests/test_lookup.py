@@ -67,26 +67,23 @@ def test_merge_find_all_miss_and_all_hit():
     np.testing.assert_array_equal(np.asarray(mf), in_table)
 
 
-def test_ffill_scan_long():
-    """Row-decomposed fill == plain scan on a length that triggers
-    the decomposition."""
+def test_merge_find_long_decomposed_cumsum():
+    """_find_merge at a length that triggers the _cumsum_flat row
+    decomposition (T + Q > 8 * 1024) matches the numpy oracle."""
     rng = np.random.default_rng(2)
-    n = 4096 * 4
-    valid = rng.random(n) < 0.01
-    val = rng.integers(0, 1 << 30, n).astype(np.int32)
-    fv, fx = lookup._ffill_scan((jnp.asarray(valid), jnp.asarray(val)))
-    # numpy oracle
-    exp_v = np.zeros(n, bool)
-    exp_x = np.zeros(n, np.int32)
-    seen = False
-    cur = 0
-    for i in range(n):
-        if valid[i]:
-            seen, cur = True, val[i]
-        exp_v[i] = seen
-        exp_x[i] = cur if seen else 0
-    np.testing.assert_array_equal(np.asarray(fv), exp_v)
-    np.testing.assert_array_equal(np.asarray(fx)[exp_v], exp_x[exp_v])
+    thi, tlo, keys = _mk_table(rng, 12000)
+    q = 40000
+    hit = keys[rng.integers(0, len(keys), q)]
+    miss = rng.choice(1 << 40, q, replace=False).astype(np.uint64)
+    qk = np.where(rng.random(q) < 0.5, hit, miss)
+    qhi = (qk >> np.uint64(32)).astype(np.uint32)
+    qlo = (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    mi, mf = lookup._find_merge(jnp.asarray(thi), jnp.asarray(tlo),
+                                jnp.asarray(qhi), jnp.asarray(qlo))
+    exp_found = np.isin(qk, keys)
+    np.testing.assert_array_equal(np.asarray(mf), exp_found)
+    pos = np.searchsorted(keys, qk[exp_found])
+    np.testing.assert_array_equal(np.asarray(mi)[exp_found], pos)
 
 
 def test_neighbor_tables_merge_vs_binary_dispatch(monkeypatch):

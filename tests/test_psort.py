@@ -68,6 +68,33 @@ def test_blocked_sort_payload_rides_with_keys():
     np.testing.assert_array_equal(np.asarray(scnt), cnt[order])
 
 
+def test_blocked_sort_duplicate_keys_preserve_payload_multiset():
+    """Regression (r3 advisor): with duplicate (hi, lo) keys and a payload,
+    the in-VMEM compare-exchange must keep tied elements in place — the
+    old `lt == dir` comparator duplicated one payload and destroyed the
+    other on every tie."""
+    rng = np.random.default_rng(17)
+    n = 1 << 12
+    hi, lo = _rand_pairs(rng, n, hi_space=8)
+    lo = (lo % 4).astype(np.uint32)          # heavy (hi, lo) duplication
+    pay = np.arange(n, dtype=np.uint32)      # all-distinct payloads
+    shi, slo, spay = psort.sort_arrays_blocked(
+        (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(pay)),
+        log_block=10, interpret=True)
+    shi, slo, spay = map(np.asarray, (shi, slo, spay))
+    ohi, olo = _oracle(hi, lo)
+    np.testing.assert_array_equal(shi, ohi)
+    np.testing.assert_array_equal(slo, olo)
+    # global payload multiset preserved (all-distinct => set equality)
+    np.testing.assert_array_equal(np.sort(spay), pay)
+    # per-key payload multisets preserved
+    key = (hi.astype(np.uint64) << np.uint64(32)) | lo
+    skey = (shi.astype(np.uint64) << np.uint64(32)) | slo
+    for kv in np.unique(key):
+        np.testing.assert_array_equal(
+            np.sort(pay[key == kv]), np.sort(spay[skey == kv]))
+
+
 def test_blocked_sort_already_sorted_and_reversed():
     n = 1 << 11
     hi = np.arange(n, dtype=np.uint32) >> np.uint32(4)

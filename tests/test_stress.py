@@ -18,7 +18,9 @@ import time
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
+# Full CAMI-scale tests are opt-in; the default tier below (depth + spill
+# at reduced scale, VERDICT r3 #8) runs in every CI invocation.
+stress_only = pytest.mark.skipif(
     not os.environ.get("METAFAST_STRESS"),
     reason="stress tier is opt-in: set METAFAST_STRESS=1")
 
@@ -53,6 +55,7 @@ def _make_samples(tmp_path, n_samples=3, seed=0):
     return files
 
 
+@stress_only
 def test_cami_scale_matrix(tmp_path):
     from metafast_tpu.pipeline import matrix_pipeline
 
@@ -95,6 +98,7 @@ def test_cami_scale_matrix(tmp_path):
           f"uniques/sample ~{len(res.sample_tables[0][0]) / 1e6:.1f}M")
 
 
+@stress_only
 def test_multichunk_consolidation_equivalence(tmp_path):
     """A counter forced through many small consolidation chunks must
     produce the identical table (finish() merge correctness at depth)."""
@@ -120,3 +124,40 @@ def test_multichunk_consolidation_equivalence(tmp_path):
     k2, c2 = count(chunk=1 << 22)      # many levels + binary merges
     np.testing.assert_array_equal(k1, k2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_default_tier_multichunk_depth_and_spill(tmp_path):
+    """Default-CI depth tier (no env vars): a counter pushed through many
+    consolidation chunks AND a tiny spill threshold (every level exits to
+    host RAM) must reproduce the single-consolidation table bit-for-bit.
+    This exercises the finish() merge depth + host-spill path that the
+    full CAMI tier covers at scale (VERDICT r3 #8)."""
+    from metafast_tpu.io import native_reads
+    from metafast_tpu.ops.count import KmerCounter
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, 400_000)]
+    n_reads = 400_000 * 6 // READ_LEN                 # ~1.9M k-mers
+    starts = rng.integers(0, 400_000 - READ_LEN, n_reads)
+    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
+    lengths = np.full(n_reads, READ_LEN, np.int32)
+    codes = reads.reshape(-1)
+
+    def count(chunk, spill):
+        c = KmerCounter(K, chunk=chunk, spill=spill)
+        offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+        step = 30_000
+        for r0 in range(0, len(lengths), step):
+            r1 = min(r0 + step, len(lengths))
+            c.add_stream(codes[offs[r0]:offs[r1]], lengths[r0:r1])
+        return c, c.finish()
+
+    ref, (k1, c1) = count(chunk=1 << 23, spill=None)
+    deep, (k2, c2) = count(chunk=1 << 18, spill=1 << 18)
+    # the deep run really did exercise depth and spill
+    assert deep.spill_events > 0 and ref.spill_events == 0
+    assert len(k2) > 390_000
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(c1, c2)
+    assert ref.total_kmers_seen == deep.total_kmers_seen
