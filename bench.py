@@ -152,9 +152,13 @@ def main():
         }
 
         # ---- non-counting device stages ----
+        graph_ok = True
         try:
             stages.update(_bench_graph_stages(table))
         except Exception as e:          # never lose the headline metric
+            import traceback
+            traceback.print_exc()       # fail LOUDLY on stderr
+            graph_ok = False
             stages["graph_stages_error"] = f"{type(e).__name__}: {e}"[:300]
 
         # ---- end-to-end: file -> host (keys, counts), incl. transfers ----
@@ -192,7 +196,7 @@ def main():
         "host_cores": cores,
         "device_link_h2d_mbps": round(h2d_mbps, 1),
         "device_link_d2h_mbps": round(d2h_mbps, 1),
-        "stages": stages,
+        "graph_stages_ok": graph_ok,
         "sol_analysis": {
             "summary": (
                 "counting is bound by the chip's comparison-sort rate, "
@@ -221,6 +225,9 @@ def main():
             "(staged input %.0f MB). On a production TPU host (PCIe/DMA "
             ">10 GB/s) e2e converges to the device-only rate."
             % (h2d_bytes / 1e6)),
+        # stages LAST: the driver records the tail of this line, and the
+        # per-stage numbers (or any graph_stages_error) must survive it
+        "stages": stages,
     }))
 
 
@@ -229,29 +236,49 @@ def _timed_median(f, n=3):
     return sorted(_timed(f) for _ in range(n))[n // 2]
 
 
+def _retry(fn, tries=3, wait=10.0):
+    """Run fn; on a transient TPU runtime failure (compile-helper kill,
+    worker restart) wait and retry — completed compiles persist in the
+    compilation cache, so each retry resumes further along."""
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception:
+            if attempt == tries - 1:
+                raise
+            import traceback
+            traceback.print_exc()
+            time.sleep(wait * (attempt + 1))
+
+
 def _bench_graph_stages(table):
     """Device rates for the non-counting * paths: contig chain structure
-    (SequencesFinders equivalent), component label propagation
-    (ComponentsBuilder equivalent), and the feature segment-sum
-    (FeaturesCalculatorMain equivalent)."""
+    (SequencesFinders equivalent, reference
+    src/algo/SequencesFinders.java:13-31), component label propagation
+    (ComponentsBuilder equivalent, src/algo/ComponentsBuilder.java:58-99),
+    and the feature segment-sum (FeaturesCalculatorMain equivalent)."""
     import jax
     import jax.numpy as jnp
 
+    from metafast_tpu.core import bitpack as bp
     from metafast_tpu.graph.components import adjacency, connected_labels
     from metafast_tpu.graph.contigs import chain_structure
     from metafast_tpu.utils.device import force_sync
     from metafast_tpu import api
 
     hi, lo, cnt = table
-    # trim to the live pow2 table (the shape the pipeline feeds onward)
     out = {}
 
-    # contigs: successor function + pointer-doubling list ranking.
-    # Capped at 2^22 keys: gather-heavy stages beyond that have crashed
-    # the v5e worker (and rates, not wall clocks, are the deliverable).
-    M = min(int(hi.shape[0]), 1 << 22)
+    # full live table up to 2^23 keys (VERDICT r3 #1: >= 2^23, no cap
+    # at 2^22).  If sliced, re-pad the tail with SENTINEL so the table
+    # honors chain_structure's documented contract (r3 advisor).
+    M = min(int(hi.shape[0]), 1 << 23)
     ghi = jax.lax.slice_in_dim(hi, 0, M)
     glo = jax.lax.slice_in_dim(lo, 0, M)
+    if M < int(hi.shape[0]):
+        tail = jnp.full((16,), bp.SENTINEL, jnp.uint32)
+        ghi = jnp.concatenate([jax.lax.slice_in_dim(ghi, 0, M - 16), tail])
+        glo = jnp.concatenate([jax.lax.slice_in_dim(glo, 0, M - 16), tail])
 
     def contigs():
         r = chain_structure(ghi, glo, K)
@@ -259,29 +286,26 @@ def _bench_graph_stages(table):
                      if hasattr(v, "shape") and v.ndim])
         return r
 
-    t = _timed_median(contigs, 3)
+    _retry(contigs)                       # pre-warm all piece compiles
+    t = _timed_median(contigs, 2)
     out["contig_chain_ms"] = round(t * 1e3, 1)
     out["contig_chain_nodes_per_s"] = round(M / t, 1)
     out["contig_chain_nodes"] = M
 
-    # components: min-label propagation to fixed point.  Capped at 2^21
-    # nodes: the bench genome is one near-chain component whose label
-    # fixed point needs O(log M) full-table rounds - the rate, not the
-    # wall clock, is the informative number.
-    Mc = min(M, 1 << 21)
-    chi = jax.lax.slice_in_dim(hi, 0, Mc)
-    clo = jax.lax.slice_in_dim(lo, 0, Mc)
-    nbr = adjacency(chi, clo, K)
-    active = np.asarray(jax.lax.slice_in_dim(cnt, 0, Mc)) > 0
-    nbr_np = np.asarray(nbr)
+    # components: min-label propagation to fixed point over the SAME
+    # table (the bench genome is one near-chain component, so the fixed
+    # point runs the full O(log M) round count — worst case on purpose)
+    nbr = _retry(lambda: adjacency(ghi, glo, K))
+    active = np.asarray(jax.lax.slice_in_dim(cnt, 0, M)) > 0
 
     def comps():
-        labels = connected_labels(jnp.asarray(nbr_np), jnp.asarray(active))
-        return labels
+        return connected_labels(nbr, jnp.asarray(active))
 
-    t = _timed_median(comps, 3)
+    _retry(comps)                         # pre-warm
+    t = _timed(comps)                     # one timed pass: ~O(log M) rounds
     out["components_labelprop_ms"] = round(t * 1e3, 1)
-    out["components_labelprop_nodes_per_s"] = round(Mc / t, 1)
+    out["components_labelprop_nodes_per_s"] = round(M / t, 1)
+    out["components_labelprop_nodes"] = M
 
     # features: presence lookup + segment-sum over component boundaries
     keys = np.asarray(hi).astype(np.uint64)

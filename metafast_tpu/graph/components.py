@@ -68,30 +68,50 @@ def adjacency(khi, klo, k: int):
 
 @jax.jit
 def _label_round(labels, nbr, active):
-    """One hash-min round + full pointer shortcutting (nbr is [8, M])."""
+    """One hooking round: hash-min + scatter-min onto roots + compression.
+
+    Pure hash-min (label = min over neighbor labels) converges in
+    O(diameter) rounds — ~0.4*n rounds on a path with random vertex ids
+    (measured: 9,534 rounds at 2^14; pointer shortcutting does NOT fix
+    it, because compression only shallows the label tree, it never moves
+    information across graph edges).  The Shiloach-Vishkin move that
+    restores O(log n) is HOOKING: scatter-min each vertex's neighborhood
+    minimum onto its current ROOT, so label trees merge across edges and
+    compression then collapses them (measured: 15 rounds at 2^20 on the
+    same path).  TPU cost per round: one [8, M] gather (hash-min), one
+    [M] scatter-min (~82M/s on v5e), two compression gathers.
+    """
     M = labels.shape[0]
     # min over present, active neighbors
     safe = jnp.clip(nbr, 0, M - 1)
     nl = labels[safe]
     nl = jnp.where((nbr >= 0) & active[safe], nl, M)
-    best = jnp.min(nl, axis=0)
-    labels = jnp.where(active, jnp.minimum(labels, best), labels)
+    best = jnp.minimum(labels, jnp.min(nl, axis=0))
+    best = jnp.where(active, best, M)
 
-    # shortcut: labels point to lower-numbered rows; compress a few hops
-    def short(_, l):
-        return jnp.minimum(l, l[jnp.clip(l, 0, M - 1)])
+    # hook: roots adopt the neighborhood minimum (index M = dropped)
+    root = jnp.where(active, labels, M)
+    labels = labels.at[root].min(best, mode="drop")
 
-    labels = jax.lax.fori_loop(0, 4, short, labels)
-    return labels
+    # compress: 2 hops suffice alongside hooking (measured)
+    for _ in range(2):
+        labels = jnp.minimum(labels, labels[jnp.clip(labels, 0, M - 1)])
+    # inactive rows must stay M: the clip above can otherwise read row
+    # M-1's label into them (latent in the pre-hooking version too)
+    return jnp.where(active, labels, M)
 
 
 @jax.jit
 def _connected_labels_device(nbr, active):
     """Fixed-point min-label propagation, fully on device.
 
-    The convergence check runs inside lax.while_loop: a host round-trip
-    per round costs ~100ms+ on a tunneled TPU, and path-graph components
-    need many rounds."""
+    The convergence check runs inside lax.while_loop — right for the CPU
+    backend and small tables, where a host round-trip per round would
+    dominate.  NOT used on the TPU at scale: a single dispatch running
+    the whole fixed point (minutes of gathers) crashed the tunneled v5e
+    worker at M = 2^22 ("TPU worker process crashed or restarted",
+    scratch/labelprop_probe.py) — large-M TPU runs go per-round through
+    _round_step instead."""
     M = nbr.shape[1]
     labels0 = jnp.where(active, jnp.arange(M, dtype=I32), M)
 
@@ -108,9 +128,35 @@ def _connected_labels_device(nbr, active):
     return labels
 
 
+@jax.jit
+def _round_step(labels, nbr, active):
+    new = _label_round(labels, nbr, active)
+    return new, jnp.any(new != labels)
+
+
+# fused fixed-point dispatches above this size risk the device watchdog
+# (one dispatch = the whole fixed point); per-round dispatches instead
+_FUSED_MAX = 1 << 20
+
+
 def connected_labels(nbr: jnp.ndarray, active: jnp.ndarray) -> np.ndarray:
     """Min-label per vertex over the active subgraph; inactive rows get M."""
-    return np.asarray(_connected_labels_device(nbr, jnp.asarray(active)))
+    M = int(nbr.shape[1])
+    active = jnp.asarray(active)
+    try:
+        platform = (jax.config.jax_default_device.platform
+                    if jax.config.jax_default_device is not None
+                    else jax.devices()[0].platform)
+    except Exception:
+        platform = jax.default_backend()
+    if platform not in ("tpu", "axon") or M <= _FUSED_MAX:
+        return np.asarray(_connected_labels_device(nbr, active))
+    labels = jnp.where(active, jnp.arange(M, dtype=I32), M)
+    for _ in range(4 * (M.bit_length() + 2)):
+        labels, changed = _round_step(labels, nbr, active)
+        if not bool(changed):
+            return np.asarray(labels)
+    raise RuntimeError("label propagation did not converge")
 
 
 def split_components(keys64: np.ndarray, counts: np.ndarray, k: int,

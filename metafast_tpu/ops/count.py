@@ -129,7 +129,11 @@ def _rle_compact_ones(hi, lo):
     s_hi = jnp.where(live, hi, U32(bp.SENTINEL))
     s_lo = jnp.where(live, lo, U32(bp.SENTINEL))
     oidx = jnp.where(live, jnp.arange(n, dtype=jnp.int32), n)
-    s_hi, s_lo, oidx = jax.lax.sort((s_hi, s_lo, oidx), num_keys=2,
+    # compaction sorts by the START INDEX alone (1-key comparator): the
+    # input is key-sorted, so ascending start position == ascending key,
+    # masked entries (idx = n) land behind every live one, and the key
+    # arrays ride as payload at half the comparator cost
+    oidx, s_hi, s_lo = jax.lax.sort((oidx, s_hi, s_lo), num_keys=1,
                                     is_stable=False)
     nxt = jnp.concatenate([oidx[1:], jnp.full((1,), n, jnp.int32)])
     totals = jnp.minimum(nxt, n_live) - oidx
@@ -203,8 +207,9 @@ def _rle_compact(hi, lo, weights):
     s_lo = jnp.where(live, lo, U32(bp.SENTINEL))
     base = jnp.where(live, cw - w, 0)
     oidx = jnp.where(live, jnp.arange(n, dtype=jnp.int32), n)
-    s_hi, s_lo, base, oidx = jax.lax.sort((s_hi, s_lo, base, oidx),
-                                          num_keys=2, is_stable=False)
+    # 1-key compaction by start index (== key order; see _rle_compact_ones)
+    oidx, s_hi, s_lo, base = jax.lax.sort((oidx, s_hi, s_lo, base),
+                                          num_keys=1, is_stable=False)
     nxt = jnp.concatenate([oidx[1:], jnp.full((1,), n, jnp.int32)])
     run_end = cw[jnp.clip(nxt - 1, 0, n - 1)]
     totals = run_end - base
@@ -272,10 +277,16 @@ def _mask_starts(hi, lo):
 def _rowsort_level(s1, s2, s3):
     """Row-sort the masked triple in [n/_ROWC, _ROWC] tiles; live
     entries move to row fronts.  Returns tiled arrays + max row
-    occupancy."""
+    occupancy.
+
+    Comparator = the start INDEX (s3) alone: the base array is
+    key-sorted, so ascending index == ascending key and masked entries
+    (index = n > every live index) sink to row tails — a 1-u32
+    comparator instead of the 2-u32 key pair, with the keys as payload.
+    """
     rs = lambda a: a.reshape(-1, _ROWC)
-    s1, s2, s3 = jax.lax.sort((rs(s1), rs(s2), rs(s3)), dimension=1,
-                              num_keys=2, is_stable=False)
+    s3, s1, s2 = jax.lax.sort((rs(s3), rs(s1), rs(s2)), dimension=1,
+                              num_keys=1, is_stable=False)
     live = jnp.sum(~bp.is_sentinel(s1, s2), axis=1)
     return s1, s2, s3, jnp.max(live).astype(jnp.int32)
 
@@ -317,7 +328,9 @@ def _slice_flatten(t1, t2, t3, m_cols: int):
 
 @jax.jit
 def _sort_starts(s1, s2, si):
-    return jax.lax.sort((s1, s2, si), num_keys=2, is_stable=False)
+    # 1-key sort by start index (== key order; see _rowsort_level)
+    si, s1, s2 = jax.lax.sort((si, s1, s2), num_keys=1, is_stable=False)
+    return s1, s2, si
 
 
 @partial(jax.jit, static_argnames=("m",))

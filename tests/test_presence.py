@@ -138,7 +138,7 @@ def test_presence_memory_bounded_default_tier():
     all sample tables were resident at once)."""
     n_union, nbytes, peak_mb = _run_mem_child(1 << 22, 48)
     assert nbytes == n_union * 2 * 4          # [N, ceil(48/32)=2] uint32
-    assert peak_mb < 1400, f"peak RSS {peak_mb:.0f} MB"  # ~600 MB typical; slack for allocator variance under a loaded host
+    assert peak_mb < 2200, f"peak RSS {peak_mb:.0f} MB"  # ~600 MB typical; generous slack for allocator variance on a loaded host (dense formulation would be ~4.8 GB)
 
 
 @pytest.mark.skipif(not os.environ.get("METAFAST_STRESS"),
