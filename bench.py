@@ -379,10 +379,24 @@ def stress():
             files.append(fp)
         n_kmers = 3 * (GEN * COV // READ_LEN) * (READ_LEN - K + 1)
         t0 = time.perf_counter()
-        res = matrix_pipeline(files, k=K, b=1, l=100, b1=1000, b2=10000)
+        marks = []        # (stage, sample, elapsed) per pipeline event
+
+        def progress(stage, name, info):
+            marks.append((stage, name, round(time.perf_counter() - t0, 1)))
+
+        res = matrix_pipeline(files, k=K, b=1, l=100, b1=1000, b2=10000,
+                              progress=progress)
         dt = time.perf_counter() - t0
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1048576
     off = res.matrix[np.triu_indices(3, 1)]
+    # per-stage split from the event timeline (count+contigs interleave
+    # per sample; components is one event; the rest is features+matrix)
+    stage_s = {}
+    prev = 0.0
+    for stage, name, at in marks:
+        stage_s[stage] = stage_s.get(stage, 0.0) + (at - prev)
+        prev = at
+    stage_s["features_matrix"] = round(dt - prev, 1)
     print(json.dumps({
         "metric": "cami_scale_matrix_pipeline_throughput",
         "value": round(n_kmers / dt, 1),
@@ -394,6 +408,7 @@ def stress():
         "n_components": len(res.components),
         "uniques_per_sample": [len(t[0]) for t in res.sample_tables],
         "offdiag_distances": [round(float(x), 4) for x in off],
+        "stage_seconds": {k: round(v, 1) for k, v in stage_s.items()},
     }))
 
 

@@ -96,8 +96,16 @@ def _parse_process_share(path: str, min_len: int, p: int, P: int):
     res = None
     try:
         sz = os.path.getsize(path)
-        res = native_reads.parse_file_range(path, p * sz // P,
-                                            (p + 1) * sz // P)
+        # every process checks EVERY boundary snap (deterministic, reads
+        # <= 512 KB each): if any snap fails — e.g. the FASTQ record
+        # heuristic finds no candidate near one offset — ALL processes
+        # must take the fallback together, or byte-range shares and
+        # read-slice shares would overlap
+        bounds = [native_reads.record_boundary(path, q * sz // P)
+                  for q in range(P + 1)]
+        if all(b is not None for b in bounds):
+            res = native_reads.parse_file_range(path, p * sz // P,
+                                                (p + 1) * sz // P)
     except Exception:
         res = None
     if res is not None:

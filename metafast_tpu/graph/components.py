@@ -82,16 +82,20 @@ def _label_round(labels, nbr, active):
     [M] scatter-min (~82M/s on v5e), two compression gathers.
     """
     M = labels.shape[0]
-    # min over present, active neighbors
-    safe = jnp.clip(nbr, 0, M - 1)
-    nl = labels[safe]
-    nl = jnp.where((nbr >= 0) & active[safe], nl, M)
-    best = jnp.minimum(labels, jnp.min(nl, axis=0))
-    best = jnp.where(active, best, M)
+    old = jnp.where(active, labels, M)
 
-    # hook: roots adopt the neighborhood minimum (index M = dropped)
-    root = jnp.where(active, labels, M)
-    labels = labels.at[root].min(best, mode="drop")
+    # push: relax every edge with ONE [8, M] scatter-min (~82M/s on v5e)
+    # instead of the [8, M] neighbor-label gather (~50M/s) — min-scatter
+    # is order-independent, so the result is deterministic
+    safe = jnp.clip(nbr, 0, M - 1)
+    tgt = jnp.where((nbr >= 0) & active[None, :], safe, M)
+    vals = jnp.broadcast_to(old[None, :], tgt.shape)
+    labels = old.at[tgt].min(vals, mode="drop")
+
+    # hook: each vertex's freshly-pushed knowledge onto its OLD root —
+    # this merges label trees across edges, which is what turns
+    # O(diameter) hash-min into O(log n) (index M = dropped)
+    labels = labels.at[old].min(labels, mode="drop")
 
     # compress: 2 hops suffice alongside hooking (measured)
     for _ in range(2):
@@ -209,6 +213,31 @@ def _split_components_impl(keys64, counts, k, b1, b2,
     out: list[Component] = []
 
     while active.any():
+        # the active set shrinks sharply per threshold level (only
+        # oversized components' high-count k-mers survive), but the
+        # label rounds always cost O(table size): when occupancy drops
+        # below 1/4, rebuild a compacted sub-table + adjacency so later
+        # levels run at their own scale, not the level-1 table's.
+        # Component membership is by KEY VALUE, so compaction cannot
+        # change any emitted component; edges within the active subset
+        # are preserved because both endpoints' keys remain present.
+        n_act = int(active.sum())
+        if n_act and n_act * 4 <= M and M > 16:
+            sel = np.nonzero(active)[0]     # always < len(keys64): only
+            keys64 = keys64[sel]            # real rows ever activate
+            counts = counts_full[sel]
+            M0 = len(keys64)
+            M = 1 << max(4, int(np.ceil(np.log2(max(M0, 1)))))
+            khi = np.full(M, bp.SENTINEL, dtype=np.uint32)
+            klo = np.full(M, bp.SENTINEL, dtype=np.uint32)
+            u = keys64.astype(np.uint64)
+            khi[:M0] = (u >> np.uint64(32)).astype(np.uint32)
+            klo[:M0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            nbr = adjacency(jnp.asarray(khi), jnp.asarray(klo), k)
+            counts_full = np.zeros(M, dtype=np.int64)
+            counts_full[:M0] = counts
+            active = np.zeros(M, dtype=bool)
+            active[:M0] = True
         labels = labels_fn(nbr, jnp.asarray(active))
         act_idx = np.nonzero(active)[0]
         roots = labels[act_idx]
