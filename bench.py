@@ -59,7 +59,10 @@ def make_fasta(path: str) -> int:
 
 
 def native_baseline(codes, lengths) -> float:
-    """Measured single-thread reference-style counter: k-mers/s."""
+    """Measured single-thread reference-style counter: k-mers/s.
+
+    Median of 3 runs — this number sets vs_baseline, and a single run
+    wobbles ~20% with host noise on the 2-vCPU rig."""
     from metafast_tpu.native import load_library
 
     lib = load_library()
@@ -69,16 +72,21 @@ def native_baseline(codes, lengths) -> float:
     table = np.zeros(1 << log2, dtype=np.uint64)
     counts = np.zeros(1 << log2, dtype=np.uint16)
     uniq = ctypes.c_int64(0)
-    t0 = time.perf_counter()
-    total = lib.count_kmers_baseline(
-        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(lengths), K,
-        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        log2, ctypes.byref(uniq))
-    dt = time.perf_counter() - t0
-    return total / dt
+
+    def run():
+        table[:] = 0
+        counts[:] = 0
+        t0 = time.perf_counter()
+        total = lib.count_kmers_baseline(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(lengths), K,
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            log2, ctypes.byref(uniq))
+        return total / (time.perf_counter() - t0)
+
+    return sorted(run() for _ in range(3))[1]
 
 
 def main():
