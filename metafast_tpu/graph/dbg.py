@@ -31,7 +31,13 @@ FORK = -2
 
 @partial(jax.jit, static_argnames=("k", "side"))
 def _neighbor_values(khi, klo, k: int, side: str):
-    """Oriented neighbor values + canonical forms for one side: [4, M]."""
+    """Oriented neighbor values + canonical forms for one side: [4, M].
+
+    Sentinel rows emit SENTINEL canonical queries (not garbage shifts of
+    the all-ones pattern): lookup.find treats them identically (never
+    found), and the bounded sort-merge verify depends on padded rows not
+    forming giant duplicate runs of one garbage key."""
+    sent = bp.is_sentinel(khi, klo)
     vh, vl = [], []
     for nuc in range(4):
         if side == "right":
@@ -43,6 +49,8 @@ def _neighbor_values(khi, klo, k: int, side: str):
     val_hi = jnp.stack(vh, axis=0)
     val_lo = jnp.stack(vl, axis=0)
     can_hi, can_lo = bp.canonical(val_hi, val_lo, k)
+    can_hi = jnp.where(sent[None, :], U32(bp.SENTINEL), can_hi)
+    can_lo = jnp.where(sent[None, :], U32(bp.SENTINEL), can_lo)
     return val_hi, val_lo, can_hi, can_lo
 
 
@@ -82,13 +90,28 @@ def neighbor_tables(khi, klo, k: int):
     """
     sent = jnp.asarray(bp.is_sentinel(khi, klo))
     res = {}
+    flags = {}
     for side in ("left", "right"):
         val_hi, val_lo, can_hi, can_lo = _neighbor_values(khi, klo, k, side)
-        idx, present = lookup.find(khi, klo, can_hi, can_lo)
+        # bounded sort-merge verify: neighbor query keys repeat at most
+        # a handful of times (measured max 5 at k=11; each canonical key
+        # has <= 8 graph neighbors), so hits resolve with shifted
+        # compares instead of 2 random gathers per query — the overflow
+        # flag certifies the bound and falls back to the gather verify
+        idx, present, flag = lookup.find_bounded(khi, klo, can_hi, can_lo)
+        flags[side] = (flag, val_hi, val_lo, can_hi, can_lo)
         is_fw, present, ext = _ext_codes(val_hi, val_lo, can_hi, can_lo,
                                          present, sent)
         res[side] = dict(val_hi=val_hi, val_lo=val_lo, idx=idx,
                          present=present, is_fw=is_fw, ext=ext)
+    # one deferred scalar sync checks both sides' duplicate bounds
+    for side, (flag, val_hi, val_lo, can_hi, can_lo) in flags.items():
+        if int(flag):
+            idx, present = lookup.find(khi, klo, can_hi, can_lo)
+            is_fw, present, ext = _ext_codes(val_hi, val_lo, can_hi,
+                                             can_lo, present, sent)
+            res[side] = dict(val_hi=val_hi, val_lo=val_lo, idx=idx,
+                             present=present, is_fw=is_fw, ext=ext)
     return res
 
 

@@ -86,6 +86,56 @@ def test_merge_find_long_decomposed_cumsum():
     np.testing.assert_array_equal(np.asarray(mi)[exp_found], pos)
 
 
+def test_find_bounded_matches_find(monkeypatch):
+    """Gather-free bounded verify == generic find when duplicates fit
+    the bound; overflow certifies the bound."""
+    monkeypatch.setattr(lookup, "MERGE_MIN", 1)
+    rng = np.random.default_rng(9)
+    thi, tlo, keys = _mk_table(rng, 3000)
+    q = 20000
+    hit = keys[rng.integers(0, len(keys), q)]
+    miss = rng.choice(1 << 40, q, replace=False).astype(np.uint64)
+    pick = rng.random(q)
+    qk = np.where(pick < 0.5, hit, miss)
+    qhi = (qk >> np.uint64(32)).astype(np.uint32)
+    qlo = (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    sent = pick > 0.9
+    qhi[sent] = np.uint32(bp.SENTINEL)
+    qlo[sent] = np.uint32(bp.SENTINEL)
+    # cap duplicates under the bound: hits drawn uniformly from 3000
+    # keys, 10k draws -> max multiplicity ~ 12; use max_dup = 24
+    gi, gf = lookup.find(jnp.asarray(thi), jnp.asarray(tlo),
+                         jnp.asarray(qhi), jnp.asarray(qlo))
+    bi, bf, ov = lookup.find_bounded(jnp.asarray(thi), jnp.asarray(tlo),
+                                     jnp.asarray(qhi), jnp.asarray(qlo),
+                                     max_dup=24)
+    assert int(ov) == 0
+    np.testing.assert_array_equal(np.asarray(gf), np.asarray(bf))
+    f = np.asarray(gf)
+    np.testing.assert_array_equal(np.asarray(gi)[f], np.asarray(bi)[f])
+
+
+def test_find_bounded_overflow_fires(monkeypatch):
+    """A query key repeated past the bound must raise the overflow flag
+    (the caller's signal to fall back to the gather verify)."""
+    monkeypatch.setattr(lookup, "MERGE_MIN", 1)
+    rng = np.random.default_rng(10)
+    thi, tlo, keys = _mk_table(rng, 64)
+    qk = np.full(500, keys[7], dtype=np.uint64)     # one key x500
+    qhi = (qk >> np.uint64(32)).astype(np.uint32)
+    qlo = (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bi, bf, ov = lookup.find_bounded(jnp.asarray(thi), jnp.asarray(tlo),
+                                     jnp.asarray(qhi), jnp.asarray(qlo),
+                                     max_dup=8)
+    assert int(ov) > 0
+    # sentinel-only runs must NOT fire the flag
+    qhi2 = np.full(500, bp.SENTINEL, np.uint32)
+    _, _, ov2 = lookup.find_bounded(jnp.asarray(thi), jnp.asarray(tlo),
+                                    jnp.asarray(qhi2), jnp.asarray(qhi2),
+                                    max_dup=8)
+    assert int(ov2) == 0
+
+
 def test_neighbor_tables_merge_vs_binary_dispatch(monkeypatch):
     """neighbor_tables above MERGE_MIN must equal the binary-search path.
 
