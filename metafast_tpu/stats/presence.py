@@ -147,13 +147,31 @@ class PackedPresence:
         return self.words.nbytes
 
 
+# sample keys buffered per union merge: each merge sorts acc+batch, so
+# a smaller batch trades merge count for peak memory (~16x this in bytes
+# of transient sort buffers at the default)
+_UNION_BATCH = 1 << 27
+
+
 def union_keys(tables) -> np.ndarray:
-    """Sorted union of the sample key arrays — one streaming pass, merged
-    incrementally so peak transient memory is ~2x the union size plus one
-    sample table."""
+    """Sorted union of the sample key arrays — one streaming pass.
+
+    Samples accumulate into bounded batches before each unique-merge:
+    per-sample np.union1d would re-sort the whole accumulator once PER
+    SAMPLE (50 full sorts at CAMI scale); batching cuts that to
+    total_keys / _UNION_BATCH merges while keeping peak memory at
+    ~(union + batch) x 2."""
     acc = np.empty(0, dtype=np.int64)
+    batch: list[np.ndarray] = []
+    batch_n = 0
     for sk, _sc in tables:
-        acc = np.union1d(acc, sk)
+        batch.append(sk)
+        batch_n += len(sk)
+        if batch_n >= _UNION_BATCH:
+            acc = np.unique(np.concatenate([acc] + batch))
+            batch, batch_n = [], 0
+    if batch:
+        acc = np.unique(np.concatenate([acc] + batch))
     return acc
 
 
