@@ -138,6 +138,39 @@ def _round_step(labels, nbr, active):
     return new, jnp.any(new != labels)
 
 
+@jax.jit
+def _compact_targets(nbr, active):
+    """Scatter-target matrix with live entries sorted to the row front.
+
+    The push targets (edge endpoints from active sources) are constant
+    across all rounds of one fixed point; sorting each column's 8 slots
+    live-first lets the round loop slice to the max live degree — chain
+    graphs drop from 8 scatter rows to 2.  Returns (tgt [8, M], max
+    live degree)."""
+    M = nbr.shape[1]
+    valid = (nbr >= 0) & active[None, :]
+    tgt = jnp.where(valid, jnp.clip(nbr, 0, M - 1), M)
+    key = jnp.where(valid, 0, 1).astype(jnp.uint32)
+    _, tgt = jax.lax.sort((key, tgt), dimension=0, num_keys=1,
+                          is_stable=False)
+    deg = jnp.max(jnp.sum(valid, axis=0))
+    return tgt, deg
+
+
+@jax.jit
+def _round_step_tgt(labels, tgt, active):
+    """_round_step over a pre-compacted target matrix (TPU path)."""
+    M = labels.shape[0]
+    old = jnp.where(active, labels, M)
+    vals = jnp.broadcast_to(old[None, :], tgt.shape)
+    new = old.at[tgt].min(vals, mode="drop")
+    new = new.at[old].min(new, mode="drop")
+    for _ in range(2):
+        new = jnp.minimum(new, new[jnp.clip(new, 0, M - 1)])
+    new = jnp.where(active, new, M)
+    return new, jnp.any(new != labels)
+
+
 # fused fixed-point dispatches above this size risk the device watchdog
 # (one dispatch = the whole fixed point); per-round dispatches instead
 _FUSED_MAX = 1 << 20
@@ -155,9 +188,13 @@ def connected_labels(nbr: jnp.ndarray, active: jnp.ndarray) -> np.ndarray:
         platform = jax.default_backend()
     if platform not in ("tpu", "axon") or M <= _FUSED_MAX:
         return np.asarray(_connected_labels_device(nbr, active))
+    tgt, deg = _compact_targets(jnp.asarray(nbr), active)
+    d = max(int(deg), 1)
+    if d < tgt.shape[0]:
+        tgt = jax.lax.slice_in_dim(tgt, 0, d, axis=0)
     labels = jnp.where(active, jnp.arange(M, dtype=I32), M)
     for _ in range(4 * (M.bit_length() + 2)):
-        labels, changed = _round_step(labels, nbr, active)
+        labels, changed = _round_step_tgt(labels, tgt, active)
         if not bool(changed):
             return np.asarray(labels)
     raise RuntimeError("label propagation did not converge")

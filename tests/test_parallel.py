@@ -259,3 +259,50 @@ def test_sharded_components_path_graph_and_memory():
                                          jnp.asarray(active)))
     sharded = sharded_connected_labels(nbr, active, make_mesh(8))
     assert np.array_equal(single, sharded)
+
+
+def test_round_step_tgt_matches_fused():
+    """The TPU per-round path (_compact_targets + _round_step_tgt) must
+    reach the same fixed point as the fused while_loop — it only runs on
+    real TPU at M > 2^20, so CI pins it directly here."""
+    import jax
+    import jax.numpy as jnp
+    import metafast_tpu.core.bitpack as bp
+    from metafast_tpu.graph.components import (_compact_targets,
+                                               _connected_labels_device,
+                                               _round_step_tgt, adjacency)
+    from metafast_tpu.utils.kmers import sequence_kmers
+
+    rng = np.random.default_rng(31)
+    seqs = ["".join("AGCT"[i] for i in rng.integers(0, 4, n))
+            for n in (800, 300, 120)]
+    k = 11
+    keys = np.unique(np.concatenate([sequence_kmers(s, k) for s in seqs]))
+    M0 = len(keys)
+    M = 1 << int(np.ceil(np.log2(M0)))
+    khi = np.full(M, bp.SENTINEL, np.uint32)
+    klo = np.full(M, bp.SENTINEL, np.uint32)
+    u = keys.astype(np.uint64)
+    khi[:M0] = (u >> np.uint64(32)).astype(np.uint32)
+    klo[:M0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    nbr = adjacency(jnp.asarray(khi), jnp.asarray(klo), k)
+    # exercise the inactive-masking too
+    active = np.zeros(M, bool)
+    active[:M0] = True
+    active[rng.integers(0, M0, M0 // 10)] = False
+    da = jnp.asarray(active)
+
+    fused = np.asarray(_connected_labels_device(nbr, da))
+
+    tgt, deg = _compact_targets(jnp.asarray(nbr), da)
+    d = max(int(deg), 1)
+    assert d <= 8
+    tgt = jax.lax.slice_in_dim(tgt, 0, d, axis=0)
+    labels = jnp.where(da, jnp.arange(M, dtype=jnp.int32), M)
+    for _ in range(200):
+        labels, changed = _round_step_tgt(labels, tgt, da)
+        if not bool(changed):
+            break
+    else:
+        raise AssertionError("no convergence")
+    np.testing.assert_array_equal(np.asarray(labels), fused)
