@@ -159,7 +159,11 @@ def _compact_targets(nbr, active):
 
 @jax.jit
 def _round_step_tgt(labels, tgt, active):
-    """_round_step over a pre-compacted target matrix (TPU path)."""
+    """_round_step over a pre-compacted target matrix (TPU path).
+
+    Two compression hops: one hop needs 18 rounds at 2^20 vs 15 with
+    two, and the extra rounds cost more than the saved [M] gather
+    (measured on v5e at 2^23: 8.7 s vs 7.5 s)."""
     M = labels.shape[0]
     old = jnp.where(active, labels, M)
     vals = jnp.broadcast_to(old[None, :], tgt.shape)
@@ -193,10 +197,15 @@ def connected_labels(nbr: jnp.ndarray, active: jnp.ndarray) -> np.ndarray:
     if d < tgt.shape[0]:
         tgt = jax.lax.slice_in_dim(tgt, 0, d, axis=0)
     labels = jnp.where(active, jnp.arange(M, dtype=I32), M)
+    # pipelined convergence: dispatch round i+1 BEFORE fetching round
+    # i's flag, so the ~40ms tunnel round trip overlaps device compute
+    # (costs at most one extra round after the fixed point)
+    prev = None
     for _ in range(4 * (M.bit_length() + 2)):
         labels, changed = _round_step_tgt(labels, tgt, active)
-        if not bool(changed):
+        if prev is not None and not bool(prev):
             return np.asarray(labels)
+        prev = changed
     raise RuntimeError("label propagation did not converge")
 
 
