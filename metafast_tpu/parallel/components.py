@@ -52,25 +52,16 @@ def _hash_vert(u):
 def _ffill_last_valid(x):
     """Per element, the last value >= 0 at or before it (int32).
 
-    Built from row-wise associative scans (a flat 1D scan's compile time
-    is pathological on TPU at large n — same decomposition as
-    ops.count._cumsum_flat)."""
-    comb = lambda a, b: jnp.where(b >= 0, b, a)
+    lax.cummax of the masked POSITION + one gather back into x: the
+    r3 formulation was a row-decomposed associative_scan whose XLA
+    compile was pathological on TPU (the same hazard that OOM-killed
+    the compile helper in graph/lookup; a 1-device star-contraction
+    probe never finished compiling in 9 minutes).  lax.cummax lowers
+    natively like cumsum and compiles in seconds."""
     n = x.shape[0]
-    C = 1024
-    if n <= 8 * C:
-        return jax.lax.associative_scan(comb, x)
-    if n % C:
-        # pad with inert (-1) entries instead of falling back to the flat
-        # scan, whose compile time is superlinear at large n
-        r = C - n % C
-        return _ffill_last_valid(
-            jnp.concatenate([x, jnp.full((r,), -1, x.dtype)]))[:n]
-    x2 = x.reshape(n // C, C)
-    s = jax.lax.associative_scan(comb, x2, axis=1)
-    carry = _ffill_last_valid(s[:, -1])
-    carry = jnp.concatenate([jnp.full((1,), -1, x.dtype), carry[:-1]])
-    return jnp.where(s >= 0, s, carry[:, None]).reshape(n)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    last = jax.lax.cummax(jnp.where(x >= 0, pos, -1))
+    return jnp.where(last >= 0, x[jnp.clip(last, 0, n - 1)], -1)
 
 
 def _star_emit(u, v, large: bool):
