@@ -220,13 +220,15 @@ def main():
                 "RLE/compaction ~4 passes + 1 overlapped host sync "
                 "(%.0fms)" % (t_ext * 1e3, t_sort * 1e3, t_rle * 1e3)),
             "next_lever": (
-                "MEASURED OUT in r3: the hand-blocked Pallas bitonic "
-                "(ops/psort.py, bit-identical on chip) reaches only "
-                "~19-24G pair-stages/s per compare-exchange stage — 5x "
-                "below what XLA's own sort achieves — so the sort stays "
-                "lax.sort (PERF.md section 2); remaining scaling is "
-                "horizontal: each mesh device sorts its own hash shard "
-                "(8-device dryrun + 2-process x 4-device test)"),
+                "MEASURED OUT: hand Pallas bitonic 5x slower per stage "
+                "than XLA's sort (r3, PERF.md section 2); batch-major "
+                "extraction that skips invalid slots nets zero (r4, "
+                "section 3).  The device-only rate equals the per-stage "
+                "sum (extract+sort+RLE) and sits at ~75% of the "
+                "physical sort bound (~210M k-mers/s at this read "
+                "length); remaining scaling is horizontal: each mesh "
+                "device sorts its own hash shard (8-device dryrun + "
+                "2-process x 4-device test)"),
         },
         "link_note": (
             "single-chip TPU behind a tunnel; e2e is link-bound "
