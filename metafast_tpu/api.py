@@ -93,7 +93,7 @@ def _parse_process_share(path: str, min_len: int, p: int, P: int):
 
     from .io import native_reads
 
-    res = None
+    ok = False
     try:
         sz = os.path.getsize(path)
         # every process checks EVERY boundary snap (deterministic, reads
@@ -103,11 +103,33 @@ def _parse_process_share(path: str, min_len: int, p: int, P: int):
         # read-slice shares would overlap
         bounds = [native_reads.record_boundary(path, q * sz // P)
                   for q in range(P + 1)]
-        if all(b is not None for b in bounds):
+        ok = all(b is not None for b in bounds)
+    except Exception:
+        ok = False
+    import jax
+
+    if P > 1 and jax.process_count() > 1:
+        # the snap is deterministic, but a transient per-host I/O error
+        # is not: one process taking the read-slice fallback while the
+        # rest split byte ranges would silently double-count — agree on
+        # the path with one small DCN allgather (mirrors the slab-shape
+        # lockstep in count_reads_files_sharded)
+        from jax.experimental import multihost_utils
+        votes = np.asarray(multihost_utils.process_allgather(
+            np.array([1 if ok else 0], np.uint32)))
+        ok = bool(votes.min())
+    res = None
+    if ok:
+        try:
             res = native_reads.parse_file_range(path, p * sz // P,
                                                 (p + 1) * sz // P)
-    except Exception:
-        res = None
+        except Exception:
+            res = None
+        if res is None:
+            raise IOError(
+                f"record-aligned range parse failed on {path} after all "
+                f"processes agreed the file is range-splittable; failing "
+                f"loudly rather than silently double-counting")
     if res is not None:
         codes, lengths, skipped = res
         total = len(lengths) + skipped

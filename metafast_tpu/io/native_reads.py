@@ -111,7 +111,7 @@ def record_boundary(path: str, pos: int) -> int | None:
             for si in range(len(starts) - 4):
                 a, b, c, d, e = starts[si:si + 5]
                 if (buf[a:a + 1] == b"@" and buf[c:c + 1] == b"+"
-                        and (b - a) == (e - d)):
+                        and (c - b) == (e - d)):
                     return max(pos - 1, 0) + a
             if max(pos - 1, 0) + len(buf) >= size:
                 return size

@@ -33,8 +33,11 @@ def _write_fastq(path, reads):
             fh.write(b"I" * len(r) + b"\n")
 
 
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
 def _rand_reads(rng, n, lo=40, hi=220):
-    return [bytes(rng.choice(list(b"ACGT"), rng.integers(lo, hi)))
+    return [bytes(rng.choice(_BASES, rng.integers(lo, hi)))
             for _ in range(n)]
 
 
@@ -48,10 +51,14 @@ def test_fasta_ranges_partition_exactly(tmp_path, wrap, P):
     sz = os.path.getsize(fp)
     full = native_reads.parse_file(str(fp))
     assert full is not None
+    assert len(full[1]) == 300 and len(full[0]) > 0
     parts = [native_reads.parse_file_range(str(fp), q * sz // P,
                                            (q + 1) * sz // P)
              for q in range(P)]
     assert all(p is not None for p in parts)
+    # every process must get a non-degenerate share (boundaries land
+    # strictly inside the file, not snapped to EOF)
+    assert all(len(p[1]) > 0 for p in parts)
     np.testing.assert_array_equal(
         np.concatenate([p[0] for p in parts]), full[0])
     np.testing.assert_array_equal(
@@ -64,25 +71,46 @@ def test_fastq_ranges_partition_exactly(tmp_path, P):
     rng = np.random.default_rng(1)
     fp = tmp_path / "t.fastq"
     # include reads whose quality line starts with '@' (the classic
-    # record-boundary ambiguity) by using offset-33 qualities
+    # record-boundary ambiguity); qualities start at 34 ('"') because the
+    # parser drops any read containing a phred-0 base ('!' = 33), and a
+    # fully-skipped fixture would make the partition check vacuous
     reads = _rand_reads(rng, 200)
     with open(fp, "wb") as fh:
         for i, r in enumerate(reads):
             fh.write(b"@r%d\n" % i + r + b"\n+\n")
-            q = bytes(rng.integers(33, 74, len(r)).astype(np.uint8))
+            q = bytes(rng.integers(34, 75, len(r)).astype(np.uint8))
             fh.write(q + b"\n")
     import os
     sz = os.path.getsize(fp)
     full = native_reads.parse_file(str(fp))
     assert full is not None
+    assert len(full[1]) == 200 and len(full[0]) > 0
     parts = [native_reads.parse_file_range(str(fp), q * sz // P,
                                            (q + 1) * sz // P)
              for q in range(P)]
     assert all(p is not None for p in parts)
+    assert all(len(p[1]) > 0 for p in parts)
     np.testing.assert_array_equal(
         np.concatenate([p[0] for p in parts]), full[0])
     np.testing.assert_array_equal(
         np.concatenate([p[1] for p in parts]), full[1])
+
+
+def test_fastq_midfile_boundary_lands_inside(tmp_path):
+    """A mid-file FASTQ snap must land strictly inside the file (the r4
+    advisor found the header-vs-quality length check accepted nothing, so
+    every mid-file boundary snapped to EOF and range splitting silently
+    degenerated to process-0-parses-everything)."""
+    rng = np.random.default_rng(7)
+    fp = tmp_path / "mid.fastq"
+    _write_fastq(str(fp), _rand_reads(rng, 400))
+    import os
+    sz = os.path.getsize(fp)
+    for frac in (0.25, 0.5, 0.75):
+        b = native_reads.record_boundary(str(fp), int(sz * frac))
+        assert b is not None
+        assert int(sz * frac) <= b < sz  # strictly inside, near the ask
+        assert b - int(sz * frac) < 4096
 
 
 def test_boundary_snap_deterministic_and_monotone(tmp_path):
