@@ -63,6 +63,14 @@ def load_library():
         lib.count_kmers_baseline.restype = i64
         lib.count_kmers_baseline.argtypes = [p8, p32, i64, ctypes.c_int32,
                                              pu64, pu16, ctypes.c_int32, p64]
+        lib.contig_walk_baseline.restype = i64
+        lib.contig_walk_baseline.argtypes = [pu64, p32, i64, ctypes.c_int32,
+                                             ctypes.c_int32, ctypes.c_int32,
+                                             p64, p64]
+        lib.bfs_components_baseline.restype = i64
+        lib.bfs_components_baseline.argtypes = [pu64, p32, i64,
+                                                ctypes.c_int32,
+                                                ctypes.c_int32, p64]
         _lib = lib
         return _lib
 

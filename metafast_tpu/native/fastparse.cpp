@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 
 namespace {
 
@@ -349,6 +350,222 @@ int64_t count_kmers_baseline(const uint8_t* codes, const int32_t* lengths,
     }
     *n_unique = uniq;
     return total;
+}
+
+// ---------------------------------------------------------------------------
+// Native graph-stage baselines.  Single-thread stand-ins for the reference's
+// contig walk (src/algo/AddSequencesShiftingRightTask.java:74-99, probing via
+// src/algo/HashMapOperations.java:13-47) and BFS component builder
+// (src/algo/ComponentsBuilder.java:220-269, neighbors from
+// src/algo/KmerOperations.java:9-27).  Used ONLY to calibrate bench.py's
+// vs_native for the TPU graph stages -- these anchor the claim that the
+// device formulations beat the toolkit's per-core rate, the way
+// count_kmers_baseline anchors the counting core.
+
+struct KHash {
+    // open addressing, linear probing; key+1 stored so 0 = empty slot
+    uint64_t* slots;
+    int32_t* vals;
+    uint64_t mask;
+};
+
+static inline uint64_t khash_mix(uint64_t h) {
+    h ^= h >> 33; h *= 0xFF51AFD7ED558CCDULL;
+    h ^= h >> 33; h *= 0xC4CEB9FE1A85EC53ULL;
+    return h ^ (h >> 33);
+}
+
+static inline int64_t khash_find(const KHash& H, uint64_t key) {
+    uint64_t k1 = key + 1;
+    uint64_t pos = khash_mix(k1) & H.mask;
+    while (H.slots[pos] != 0) {
+        if (H.slots[pos] == k1) return (int64_t)pos;
+        pos = (pos + 1) & H.mask;
+    }
+    return -1;
+}
+
+static inline void khash_put(KHash& H, uint64_t key, int32_t val) {
+    uint64_t k1 = key + 1;
+    uint64_t pos = khash_mix(k1) & H.mask;
+    while (H.slots[pos] != 0 && H.slots[pos] != k1)
+        pos = (pos + 1) & H.mask;
+    H.slots[pos] = k1;
+    H.vals[pos] = val;
+}
+
+static inline uint64_t rc_kmer(uint64_t v, int32_t k) {
+    // complement (3-x per 2-bit nuc) then reverse 2-bit groups
+    uint64_t x = ~v;
+    x = ((x & 0x3333333333333333ULL) << 2) | ((x >> 2) & 0x3333333333333333ULL);
+    x = ((x & 0x0F0F0F0F0F0F0F0FULL) << 4) | ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+    x = ((x & 0x00FF00FF00FF00FFULL) << 8) | ((x >> 8) & 0x00FF00FF00FF00FFULL);
+    x = ((x & 0x0000FFFF0000FFFFULL) << 16) | ((x >> 16) & 0x0000FFFF0000FFFFULL);
+    x = (x << 32) | (x >> 32);
+    return x >> (64 - 2 * k);
+}
+
+// unique right extension of oriented (fw, rc): 0..3, -1 none, -2 fork --
+// the probe pattern of HashMapOperations.getRightNucleotide (4 map gets)
+static inline int32_t right_nuc(const KHash& H, uint64_t fw, uint64_t rc,
+                                uint64_t mask, int32_t k) {
+    int32_t ans = -1;
+    for (uint64_t nuc = 0; nuc < 4; nuc++) {
+        uint64_t nfw = ((fw << 2) | nuc) & mask;
+        uint64_t nrc = (rc >> 2) | ((3ULL - nuc) << (2 * (k - 1)));
+        uint64_t can = nfw < nrc ? nfw : nrc;
+        if (khash_find(H, can) >= 0) {
+            if (ans >= 0) return -2;
+            ans = (int32_t)nuc;
+        }
+    }
+    return ans;
+}
+
+static inline int32_t left_nuc(const KHash& H, uint64_t fw, uint64_t rc,
+                               uint64_t mask, int32_t k) {
+    int32_t ans = -1;
+    for (uint64_t nuc = 0; nuc < 4; nuc++) {
+        uint64_t nfw = (fw >> 2) | (nuc << (2 * (k - 1)));
+        uint64_t nrc = ((rc << 2) | (3ULL - nuc)) & mask;
+        uint64_t can = nfw < nrc ? nfw : nrc;
+        if (khash_find(H, can) >= 0) {
+            if (ans >= 0) return -2;
+            ans = (int32_t)nuc;
+        }
+    }
+    return ans;
+}
+
+// Contig walk over a counted canonical k-mer table.  For every key, both
+// orientations: detect "left end" (no unique left extension, or the left
+// predecessor has a right fork), then walk right while extensions stay
+// unique, accumulating length/weight -- the exact probe pattern of
+// AddSequencesShiftingRightTask.processSequence (8 probes + 1 get per
+// step).  Emits nothing; returns total chain nodes walked and fills
+// n_seq/total_len so callers can sanity-check against the TPU stage.
+int64_t contig_walk_baseline(const uint64_t* keys, const int32_t* counts,
+                             int64_t n, int32_t k, int32_t len_threshold,
+                             int32_t table_log2, int64_t* n_seq,
+                             int64_t* total_len) {
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t cap = 1ULL << table_log2;
+    KHash H;
+    H.slots = (uint64_t*)calloc(cap, sizeof(uint64_t));
+    H.vals = (int32_t*)malloc(cap * sizeof(int32_t));
+    H.mask = cap - 1;
+    if (!H.slots || !H.vals) { free(H.slots); free(H.vals); return -1; }
+    for (int64_t i = 0; i < n; i++) khash_put(H, keys[i], counts[i]);
+
+    int64_t walked = 0, seqs = 0, tlen = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t fw0 = keys[i];
+        uint64_t rc0 = rc_kmer(fw0, k);
+        for (int o = 0; o < 2; o++) {
+            uint64_t fw = o == 0 ? fw0 : rc0;
+            uint64_t rc = o == 0 ? rc0 : fw0;
+            // left-end test (AddSequencesShiftingRightTask.run)
+            int32_t ln = left_nuc(H, fw, rc, mask, k);
+            bool is_left = false;
+            if (ln < 0) {
+                is_left = true;
+            } else {
+                uint64_t pfw = (fw >> 2) | ((uint64_t)ln << (2 * (k - 1)));
+                uint64_t prc = ((rc << 2) | (3ULL - (uint64_t)ln)) & mask;
+                if (right_nuc(H, pfw, prc, mask, k) < 0) is_left = true;
+            }
+            if (!is_left) continue;
+            // walk right (processSequence)
+            uint64_t cfw = fw, crc = rc;
+            int64_t len = k;
+            int64_t guard = 2 * n + 4;     // palindromic-loop guard
+            while (guard-- > 0) {
+                int32_t rn = right_nuc(H, cfw, crc, mask, k);
+                if (rn < 0) break;
+                uint64_t nfw = ((cfw << 2) | (uint64_t)rn) & mask;
+                uint64_t nrc = (crc >> 2) | ((3ULL - (uint64_t)rn) << (2 * (k - 1)));
+                if (left_nuc(H, nfw, nrc, mask, k) < 0) break;
+                cfw = nfw; crc = nrc;
+                len++;
+                walked++;
+            }
+            uint64_t st = fw < rc ? fw : rc;
+            uint64_t en = cfw < crc ? cfw : crc;
+            if (len >= len_threshold && st <= en) {
+                seqs++;
+                tlen += len;
+            }
+            walked++;                       // the start node itself
+        }
+    }
+    free(H.slots);
+    free(H.vals);
+    *n_seq = seqs;
+    *total_len = tlen;
+    return walked;
+}
+
+// BFS connected components over a counted canonical k-mer table: scan for
+// an unvisited key, BFS through the 8 canonical neighbor candidates
+// (possibleNeighbours), mark visited by negating the stored count -- the
+// control flow of ComponentsBuilder.bfs.  Returns total k-mers visited;
+// fills n_components.
+int64_t bfs_components_baseline(const uint64_t* keys, const int32_t* counts,
+                                int64_t n, int32_t k, int32_t table_log2,
+                                int64_t* n_components) {
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t cap = 1ULL << table_log2;
+    KHash H;
+    H.slots = (uint64_t*)calloc(cap, sizeof(uint64_t));
+    H.vals = (int32_t*)malloc(cap * sizeof(int32_t));
+    H.mask = cap - 1;
+    uint64_t* queue = (uint64_t*)malloc((size_t)n * sizeof(uint64_t));
+    if (!H.slots || !H.vals || !queue) {
+        free(H.slots); free(H.vals); free(queue);
+        return -1;
+    }
+    for (int64_t i = 0; i < n; i++)
+        khash_put(H, keys[i], counts[i] > 0 ? counts[i] : 1);
+
+    int64_t visited = 0, comps = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t p0 = khash_find(H, keys[i]);
+        if (H.vals[p0] < 0) continue;       // already in a component
+        comps++;
+        int64_t head = 0, tail = 0;
+        queue[tail++] = keys[i];
+        H.vals[p0] = -H.vals[p0];
+        visited++;
+        while (head < tail) {
+            uint64_t key = queue[head++];
+            uint64_t fw = key;
+            uint64_t rc = rc_kmer(fw, k);
+            // 8 candidates: 4 right + 4 left, canonicalized
+            for (int s = 0; s < 8; s++) {
+                uint64_t nuc = (uint64_t)(s & 3);
+                uint64_t nfw, nrc;
+                if (s < 4) {
+                    nfw = ((fw << 2) | nuc) & mask;
+                    nrc = (rc >> 2) | ((3ULL - nuc) << (2 * (k - 1)));
+                } else {
+                    nfw = (fw >> 2) | (nuc << (2 * (k - 1)));
+                    nrc = ((rc << 2) | (3ULL - nuc)) & mask;
+                }
+                uint64_t can = nfw < nrc ? nfw : nrc;
+                int64_t p = khash_find(H, can);
+                if (p >= 0 && H.vals[p] > 0) {
+                    H.vals[p] = -H.vals[p];
+                    queue[tail++] = can;
+                    visited++;
+                }
+            }
+        }
+    }
+    free(H.slots);
+    free(H.vals);
+    free(queue);
+    *n_components = comps;
+    return visited;
 }
 
 }  // extern "C"
