@@ -318,17 +318,17 @@ def _bench_graph_stages(table):
     out["contig_chain_nodes_per_s"] = round(M / t, 1)
     out["contig_chain_nodes"] = M
 
-    # components: min-label propagation to fixed point over the SAME
-    # table (the bench genome is one near-chain component, so the fixed
-    # point runs the full O(log M) round count — worst case on purpose)
-    nbr = _retry(lambda: adjacency(ghi, glo, K))
-    active = np.asarray(jax.lax.slice_in_dim(cnt, 0, M)) > 0
+    # components over the SAME table (the bench genome is one near-chain
+    # component — worst case on purpose).  Times the real TPU path:
+    # chain-walk segment contraction (graph/components.py
+    # walk_connected_labels), table -> labels, everything included.
+    from metafast_tpu.graph.components import walk_connected_labels
 
     def comps():
-        return connected_labels(nbr, jnp.asarray(active))
+        return walk_connected_labels(ghi, glo, K)
 
     _retry(comps)                         # pre-warm
-    t = _timed(comps)                     # one timed pass: ~O(log M) rounds
+    t = _timed(comps)
     out["components_labelprop_ms"] = round(t * 1e3, 1)
     out["components_labelprop_nodes_per_s"] = round(M / t, 1)
     out["components_labelprop_nodes"] = M

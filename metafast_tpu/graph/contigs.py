@@ -41,6 +41,13 @@ U32 = jnp.uint32
 CHARS = np.frombuffer(b"AGCT", dtype=np.uint8)
 
 
+# above this node count, the TPU path ranks chains with splitter walks
+# (graph/rank.py, O(n) random-access volume) instead of Wyllie doubling
+# (O(n log L) volume); below it, or on CPU, the fused doubling while_loop
+# wins on dispatch overhead
+_WALK_MIN = 1 << 21
+
+
 def chain_structure(khi, klo, k: int):
     """Successor function + list ranking over oriented k-mer nodes.
 
@@ -58,13 +65,29 @@ def chain_structure(khi, klo, k: int):
     """
     t = dbg.neighbor_tables(khi, klo, k)
     L, R = t["left"], t["right"]
-    return _chain_from_tables(khi, klo, L["idx"], L["is_fw"], L["ext"],
-                              R["idx"], R["is_fw"], R["ext"], k)
+    st = _succ_from_tables(khi, klo, L["idx"], L["is_fw"], L["ext"],
+                           R["idx"], R["is_fw"], R["ext"], k)
+    n = 2 * int(khi.shape[0])
+    try:
+        platform = (jax.config.jax_default_device.platform
+                    if jax.config.jax_default_device is not None
+                    else jax.devices()[0].platform)
+    except Exception:
+        platform = jax.default_backend()
+    if platform in ("tpu", "axon") and n >= _WALK_MIN:
+        from . import rank
+        r = rank.chain_rank(st["succ"], st["valid2"])
+        st.update(term=r["term"], dist=r["dist"], reached=r["reached"])
+    else:
+        term, dist, reached = _doubling(st["succ"])
+        st.update(term=term, dist=dist, reached=reached)
+    st.pop("valid2")
+    return st
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _chain_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
-                       R_idx, R_isfw, extR_fw, k: int):
+def _succ_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
+                      R_idx, R_isfw, extR_fw, k: int):
     M = khi.shape[0]
     L = dict(idx=L_idx, is_fw=L_isfw)
     R = dict(idx=R_idx, is_fw=R_isfw)
@@ -127,8 +150,15 @@ def _chain_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
     last_rc = 3 - bp.first_nuc(khi, klo, k).astype(I32)
     last_nuc = jnp.concatenate([last_fw.astype(I32), last_rc])
 
-    # --- pointer doubling ------------------------------------------------
-    n = 2 * M
+    return dict(succ=succ, is_start=is_start, last_nuc=last_nuc,
+                valid2=jnp.concatenate([valid, valid]))
+
+
+@jax.jit
+def _doubling(succ):
+    """Wyllie pointer doubling over the successor forest (small / CPU
+    path; large TPU tables use graph/rank.py splitter walks instead)."""
+    n = succ.shape[0]
     nodes = jnp.arange(n, dtype=I32)
     terminal = succ < 0
     ptr = jnp.where(terminal, nodes, succ)
@@ -143,7 +173,7 @@ def _chain_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
     # as soon as no pointer moved (device-side check — no host syncs).
     # Cycles never reach a fixed point, so the round cap still applies;
     # their nodes end up with reached=False exactly as before.
-    rounds = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+    rounds = max(1, int(np.ceil(np.log2(max(2, int(n))))) + 1)
 
     def cond(carry):
         _, i, changed = carry
@@ -162,8 +192,7 @@ def _chain_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
         cond, body, (state, jnp.int32(0), jnp.bool_(True)))
     ptr, dist = state[0], state[1]
     reached = terminal[ptr]
-    return dict(term=ptr, dist=dist, reached=reached, is_start=is_start,
-                last_nuc=last_nuc, succ=succ)
+    return ptr, dist, reached
 
 
 def build_contigs(keys64: np.ndarray, counts: np.ndarray, k: int,
