@@ -306,3 +306,60 @@ def test_round_step_tgt_matches_fused():
     else:
         raise AssertionError("no convergence")
     np.testing.assert_array_equal(np.asarray(labels), fused)
+
+
+def test_sharded_doubling_matches_single():
+    """Sharded pointer doubling (parallel/contigs.py) == single-device
+    _doubling on random chain forests with cycles — the last * stage to
+    shard (VERDICT r4 #2)."""
+    import jax.numpy as jnp
+
+    from metafast_tpu.graph.contigs import _doubling
+    from metafast_tpu.parallel.contigs import sharded_doubling
+
+    mesh8 = make_mesh(8)
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        n = int(rng.integers(100, 4000))
+        perm = rng.permutation(n)
+        succ = np.full(n, -1, dtype=np.int32)
+        i = 0
+        while i < n:
+            L = int(rng.integers(1, 300))
+            seg = perm[i:i + L]
+            succ[seg[:-1]] = seg[1:]
+            if rng.random() < 0.25 and len(seg) > 2:
+                succ[seg[-1]] = seg[0]
+            i += L
+        ptr_s, dist_s, reach_s = sharded_doubling(succ, mesh8)
+        ptr_d, dist_d, reach_d = [np.asarray(x)
+                                  for x in _doubling(jnp.asarray(succ))]
+        assert np.array_equal(ptr_s, ptr_d)
+        assert np.array_equal(dist_s, dist_d)
+        assert np.array_equal(reach_s, reach_d)
+
+
+def test_sharded_contig_stage_in_pipeline(tmp_path):
+    """With a default mesh set, build_contigs routes the ranking through
+    sharded_doubling and still produces the exact single-device contigs."""
+    from metafast_tpu import api
+    from metafast_tpu.graph.contigs import build_contigs
+    from metafast_tpu.oracle import reference as oracle
+
+    mesh8 = make_mesh(8)
+    rng = np.random.default_rng(9)
+    bases = "ACGT"
+    genome = "".join(bases[i] for i in rng.integers(0, 4, 3000))
+    reads = [genome[s:s + 80] for s in rng.integers(0, 2920, 600)]
+    k = 15
+    table = oracle.count_reads(reads, k)
+    keys = np.array(sorted(table), dtype=np.int64)
+    counts = np.array([table[int(x)] for x in keys], dtype=np.int32)
+
+    single = build_contigs(keys, counts, k, 0)
+    api.set_default_mesh(mesh8)
+    try:
+        sharded = build_contigs(keys, counts, k, 0)
+    finally:
+        api.set_default_mesh(None)
+    assert sharded == single
