@@ -230,10 +230,11 @@ def _rle_compact(hi, lo, weights):
 # order, so compaction only has to squeeze out sentinels:
 #
 #   1. mark run STARTS as one masked (key_hi, key_lo, idx) triple;
-#   2. row-sort [n/1024, 1024] tiles (~1/7th the bitonic passes of a
+#   2. row-sort [n/256, 256] tiles (36 bitonic stages vs ~378 for a
 #      global sort) — each row's live entries move to its front;
-#   3. sync the max per-row occupancy, slice every row to pow2(maxL)
-#      columns (usually ~8x narrower), repeat while it keeps shrinking;
+#   3. slice every row to a blind column width (validated against the
+#      max row occupancy from ONE stats fetch; a miss falls back to the
+#      exact stats-driven hierarchy);
 #   4. one small global sort compacts the rest; with starts FULLY
 #      compacted, run lengths are adjacent differences of the start
 #      indices (the r-th run ends where run r+1 begins, the last at
@@ -246,10 +247,10 @@ def _rle_compact(hi, lo, weights):
 # of counted tables, low-coverage samples) fall back to the single
 # compaction sort, which is optimal when most entries are live.
 
-_ROWC = 1024
+_ROWC = 256        # rowsort tile width: 36 bitonic stages vs 55 at 1024
 _HOSTED_MIN = 1 << 20
 _GLOBAL_MAX = 1 << 22
-_OPT_COLS = 128    # optimistic level-1 slice width (see count_flat_hosted)
+_L1_COLS = 32      # blind level-1 slice width (validated against maxl1)
 
 
 @jax.jit
@@ -307,17 +308,21 @@ def _compact_levels(s):
 
 
 @jax.jit
-def _starts_rowsorted(hi, lo):
-    """Fused mask-starts + level-1 rowsort + stacked stats.
+def _sort_and_starts(hi, lo):
+    """Fused primary sort + mask-starts + level-1 rowsort + stats.
 
-    One dispatch replaces _mask_starts followed by _rowsort_level; the
-    stats vector [n_uni, n_live, max_row_occupancy] lets the host sync
-    ONCE per chunk instead of once per hierarchy level (each device->host
-    scalar fetch costs a full round trip on a tunneled TPU link).
+    One dispatch replaces sort_pair -> mask_starts -> rowsort: XLA fuses
+    the boundary masking into the sort epilogue / rowsort prologue, and
+    the tunneled backend pays one dispatch instead of three.  The stats
+    vector [n_uni, n_live, maxl1] lets the host sync once per chunk.
     """
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
     s, n_uni, n_live = _mask_starts(hi, lo)
     t1, t2, t3, maxl = _rowsort_level(*s)
-    return t1, t2, t3, jnp.stack([n_uni, n_live, maxl])
+    return hi, lo, t1, t2, t3, jnp.stack([n_uni, n_live, maxl])
+
+
+
 
 
 @partial(jax.jit, static_argnames=("m_cols",))
@@ -353,31 +358,39 @@ def _counts_from_sorted_starts(s1, s2, si, stats, m: int):
 def count_flat_hosted(hi, lo):
     """count_flat + trim-to-pow2(uniques), host-orchestrated.
 
-    Dispatch discipline: the level-1 rowsort, the optimistic slice to
-    _OPT_COLS columns, and the global start sort are all enqueued BEFORE
-    the single stats fetch, so the device pipeline never idles on the
-    host round trip.  The optimistic slice is validated against the
-    fetched max row occupancy; the rare miss (a nearly-duplicate-free
+    Dispatch discipline: the fused sort+starts+rowsort, the blind
+    _L1_COLS slice, and the global start sort are all enqueued before
+    the SINGLE stats fetch, so the device pipeline never idles on the
+    host round trip.  The blind slice width is validated against the
+    fetched max row occupancy; a miss (dense or nearly-duplicate-free
     chunk) falls back to the exact hierarchy.
+
+    Measured r5 (2^27 slab, 85M live, 5M uniques, v5e): rowsort tiles at
+    256 beat 1024 by ~24 ms (143 vs 167 — bitonic stages 36 vs 55, but
+    per-element overheads flatten the model); a SECOND rowsort level was
+    measured OUT: level-2 start density is already ~0.3, so it compacts
+    < 2x while costing a full extra dispatch (~109 ms), and its blind
+    slice width sits exactly at the occupancy tail (maxl2 132 vs 128 —
+    fallback territory).  Fusing the primary sort into the starts
+    dispatch is cost-neutral (599 vs 600 ms) but saves two dispatches
+    on the tunneled rig.
     """
     n = hi.shape[0]
-    hi, lo = _sort_pair(hi, lo)
-    if n < _HOSTED_MIN or n % _ROWC:
+    if n < _HOSTED_MIN or n % (_ROWC * 8):
+        hi, lo = _sort_pair(hi, lo)
         return _trim_table(_rle_compact_ones(hi, lo))
-    t1, t2, t3, stats_dev = _starts_rowsorted(hi, lo)
-    # optimistic: assume occupancy <= _OPT_COLS, sort the sliced starts
-    # now (async); validated against the fetched stats below
-    opt = _sort_starts(*_slice_flatten(t1, t2, t3, _OPT_COLS))
+    shi, slo, t1, t2, t3, stats_dev = _sort_and_starts(hi, lo)
+    final = _sort_starts(*_slice_flatten(t1, t2, t3, _L1_COLS))
     stats = np.asarray(stats_dev)              # the one host round trip
-    n_uni, maxl = int(stats[0]), int(stats[2])
+    n_uni, maxl1 = int(stats[0]), int(stats[2])
     if n_uni * 8 >= n:
         # dense: a single compaction sort beats the hierarchy
-        return _trim_table(_rle_compact_ones(hi, lo))
+        return _trim_table(_rle_compact_ones(shi, slo))
     m = _pow2(max(n_uni, 1))
-    if maxl <= _OPT_COLS and m <= opt[0].shape[0]:
-        return _counts_from_sorted_starts(*opt, stats_dev, m)
+    if maxl1 <= _L1_COLS and m <= final[0].shape[0]:
+        return _counts_from_sorted_starts(*final, stats_dev, m)
     # exact path: shrink levels while row-sorting keeps helping
-    s = _compact_levels_from(t1, t2, t3, maxl)
+    s = _compact_levels_from(t1, t2, t3, maxl1)
     if m > s[0].shape[0]:
         padk = lambda a: jnp.concatenate(
             [a, jnp.full((m - a.shape[0],), bp.SENTINEL, a.dtype)])
