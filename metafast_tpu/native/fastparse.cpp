@@ -505,6 +505,202 @@ int64_t contig_walk_baseline(const uint64_t* keys, const int32_t* counts,
     return walked;
 }
 
+// Neighbor index tables for the pivot traversal: for every canonical
+// key, the [4] left and [4] right canonical-neighbor indices (-1 =
+// absent), via an open-addressing hash of the key set.  ~60ns/probe
+// beats both numpy searchsorted (~540ns/query) and the tunneled-device
+// merge join round trip at the 10^7 scale the pivot tools target.
+// Returns 0, or -1 on allocation failure.
+int32_t build_neighbor_index(const int64_t* keys, int64_t n, int32_t k,
+                             int32_t table_log2,
+                             int32_t* left, int32_t* right) {
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t cap = 1ULL << table_log2;
+    KHash H;
+    H.slots = (uint64_t*)calloc(cap, sizeof(uint64_t));
+    H.vals = (int32_t*)malloc(cap * sizeof(int32_t));
+    H.mask = cap - 1;
+    if (!H.slots || !H.vals) { free(H.slots); free(H.vals); return -1; }
+    for (int64_t i = 0; i < n; i++)
+        khash_put(H, (uint64_t)keys[i], (int32_t)i);
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t fw = (uint64_t)keys[i];
+        uint64_t rc = rc_kmer(fw, k);
+        for (uint64_t nuc = 0; nuc < 4; nuc++) {
+            // right: shift fw left, prepend complement on rc
+            uint64_t nfw = ((fw << 2) | nuc) & mask;
+            uint64_t nrc = (rc >> 2) | ((3ULL - nuc) << (2 * (k - 1)));
+            uint64_t can = nfw < nrc ? nfw : nrc;
+            int64_t p = khash_find(H, can);
+            right[4 * i + (int64_t)nuc] = p >= 0 ? H.vals[p] : -1;
+            // left: shift fw right, append complement on rc
+            nfw = (fw >> 2) | (nuc << (2 * (k - 1)));
+            nrc = ((rc << 2) | (3ULL - nuc)) & mask;
+            can = nfw < nrc ? nfw : nrc;
+            p = khash_find(H, can);
+            left[4 * i + (int64_t)nuc] = p >= 0 ? H.vals[p] : -1;
+        }
+    }
+    free(H.slots);
+    free(H.vals);
+    return 0;
+}
+
+// Depth-1 pivot component extraction over PRECOMPUTED neighbor index
+// tables — the exact imperative mirror of graph/pivot.py's Python BFS
+// (itself the parity spec for src/algo/ComponentsBuilderAroundPivot.java:
+// unique continuations extend freely; forks are entered only via a
+// line probe that reaches an unclaimed pivot; failed probe paths stay
+// consumed, their branch head does not).  The traversal is inherently
+// sequential (probe order and the visited set are semantics), so the
+// hot loop lives here: ~50M nodes/s vs ~50K/s for per-node Python —
+// the 10^7-table envelope VERDICT r4 #4 asks for.
+//
+//   left/right: [n, 4] neighbor indices (-1 = absent)
+//   piv:        per-key pivot flag
+//   starts:     candidate start indices, ascending
+// Outputs: members (concatenated, with path duplicates exactly like the
+// Python appends), comp_off ([n_comp+1] prefix), comp_weight/
+// comp_npivot per component.  Returns n_comp, or -1 if members_cap or
+// max_comps would overflow.
+int64_t pivot_bfs_depth1(const int32_t* left, const int32_t* right,
+                         const int64_t* counts, const uint8_t* piv,
+                         int64_t n, const int64_t* starts,
+                         int64_t n_starts, int32_t* members,
+                         int64_t members_cap, int64_t* comp_off,
+                         int64_t* comp_weight, int64_t* comp_npivot,
+                         int64_t max_comps) {
+    uint8_t* visited = (uint8_t*)calloc(n, 1);
+    uint8_t* pivot_done = (uint8_t*)calloc(n, 1);
+    // queue of (node, prev) pairs; each node enqueues at most once
+    int32_t* qi = (int32_t*)malloc((size_t)n * sizeof(int32_t));
+    int32_t* qp = (int32_t*)malloc((size_t)n * sizeof(int32_t));
+    if (!visited || !pivot_done || !qi || !qp) {
+        free(visited); free(pivot_done); free(qi); free(qp);
+        return -1;
+    }
+    int64_t n_comp = 0, mout = 0;
+    int64_t weight = 0, n_pivot = 0;
+    int64_t qh = 0, qt = 0;
+    bool overflow = false;
+
+    auto away_side = [&](int32_t i, int32_t prev) -> const int32_t* {
+        const int32_t* side = nullptr;
+        const int32_t* L = left + 4 * (int64_t)i;
+        const int32_t* R = right + 4 * (int64_t)i;
+        for (int s = 0; s < 4; s++) if (L[s] == prev) { side = right; break; }
+        for (int s = 0; s < 4; s++) if (R[s] == prev) { side = left; break; }
+        return side;
+    };
+
+    auto visit = [&](int32_t i) {
+        visited[i] = 1;
+        if (mout < members_cap) members[mout++] = i; else overflow = true;
+        weight += counts[i];
+        if (piv[i] && !pivot_done[i]) { pivot_done[i] = 1; n_pivot++; }
+    };
+
+    // _probe_line: walk unique continuations from branch head j, marking
+    // the path visited and claiming its pivots; head restored on failure
+    auto probe_line = [&](int32_t j, int32_t parent, int64_t* path_beg,
+                          int64_t* path_end) -> int64_t {
+        int64_t np = 0;
+        int32_t cur = j, prev = parent;
+        visited[j] = 1;
+        *path_beg = mout;
+        while (true) {
+            const int32_t* side = away_side(cur, prev);
+            if (!side) break;
+            const int32_t* row = side + 4 * (int64_t)cur;
+            int32_t nxt = -1;
+            int cnt = 0;
+            for (int s = 0; s < 4; s++) {
+                int32_t x = row[s];
+                if (x >= 0 && !visited[x]) { nxt = x; cnt++; }
+            }
+            if (cnt != 1) break;
+            if (mout < members_cap) members[mout++] = nxt;
+            else { overflow = true; break; }
+            visited[nxt] = 1;
+            if (piv[nxt] && !pivot_done[nxt]) { pivot_done[nxt] = 1; np++; }
+            prev = cur;
+            cur = nxt;
+        }
+        *path_end = mout;
+        if (np == 0) visited[j] = 0;
+        return np;
+    };
+
+    auto expand = [&](int32_t i, const int32_t* side) {
+        const int32_t* row = side + 4 * (int64_t)i;
+        int32_t nbrs[4];
+        int nn = 0;
+        for (int s = 0; s < 4; s++) {
+            int32_t j = row[s];
+            if (j >= 0 && !visited[j]) nbrs[nn++] = j;
+        }
+        if (nn == 0) return;
+        if (nn == 1) {
+            int32_t j = nbrs[0];
+            visit(j);
+            qi[qt] = j; qp[qt] = i; qt++;
+            return;
+        }
+        for (int b = 0; b < nn; b++) {
+            int32_t j = nbrs[b];
+            if (visited[j]) continue;
+            int64_t pb, pe;
+            int64_t np = probe_line(j, i, &pb, &pe);
+            if (np > 0) {
+                // path members were appended during the probe; the
+                // probe does NOT add their weights (python adds them in
+                // _add_path_member) — add now, then visit j (appends j)
+                for (int64_t p = pb; p < pe; p++) weight += counts[members[p]];
+                n_pivot += np;
+                visit(j);
+                int64_t plen = pe - pb;
+                if (plen >= 2) {
+                    qi[qt] = members[pe - 1]; qp[qt] = members[pe - 2];
+                } else if (plen == 1) {
+                    qi[qt] = members[pb]; qp[qt] = j;
+                } else {
+                    qi[qt] = j; qp[qt] = i;
+                }
+                qt++;
+            } else {
+                // failed probe: drop its appended path members from the
+                // member list (they stay consumed via visited[], exactly
+                // like the python which never appends them on failure)
+                mout = pb;
+            }
+        }
+    };
+
+    for (int64_t si = 0; si < n_starts && !overflow; si++) {
+        int32_t start = (int32_t)starts[si];
+        if (pivot_done[start] || visited[start]) continue;
+        if (n_comp >= max_comps) { overflow = true; break; }
+        weight = 0; n_pivot = 0; qh = qt = 0;
+        comp_off[n_comp] = mout;
+        visit(start);
+        expand(start, right);
+        expand(start, left);
+        while (qh < qt && !overflow) {
+            int32_t i = qi[qh], prev = qp[qh];
+            qh++;
+            const int32_t* side = away_side(i, prev);
+            if (!side) continue;
+            expand(i, side);
+        }
+        comp_weight[n_comp] = weight;
+        comp_npivot[n_comp] = n_pivot;
+        n_comp++;
+    }
+    comp_off[n_comp] = mout;
+    free(visited); free(pivot_done); free(qi); free(qp);
+    return overflow ? -1 : n_comp;
+}
+
 // BFS connected components over a counted canonical k-mer table: scan for
 // an unvisited key, BFS through the 8 canonical neighbor candidates
 // (possibleNeighbours), mark visited by negating the stored count -- the

@@ -156,3 +156,35 @@ def test_posneg_counter(tmp_path, ref_data):
     assert (wd / "kmer-counter-posneg" / "pos" / "kmers"
             / "meta_test_1.kmers.bin").exists() or \
            (wd / "pos" / "kmers" / "meta_test_1.kmers.bin").exists()
+
+
+def test_native_pivot_bfs_matches_python():
+    """The native depth-1 traversal (fastparse.cpp pivot_bfs_depth1) is
+    an exact mirror of the Python BFS — same components, weights, pivot
+    counts, fuzzing over random multi-genome tables (VERDICT r4 #4)."""
+    from metafast_tpu.oracle import reference as oracle
+
+    rng = np.random.default_rng(21)
+    bases = "ACGT"
+    for trial in range(6):
+        table = {}
+        k = 13
+        for g in range(int(rng.integers(1, 4))):
+            glen = int(rng.integers(300, 2000))
+            genome = "".join(bases[i] for i in rng.integers(0, 4, glen))
+            reads = [genome[s:s + 60]
+                     for s in rng.integers(0, max(glen - 60, 1), 400)]
+            for key, c in oracle.count_reads(reads, k).items():
+                table[key] = table.get(key, 0) + c
+        keys = np.array(sorted(table), dtype=np.int64)
+        counts = np.array([table[int(x)] for x in keys], dtype=np.int64)
+        n_piv = int(rng.integers(1, max(len(keys) // 8, 2)))
+        pivots = np.sort(rng.choice(keys, n_piv, replace=False))
+        nat = split_around_pivot(keys, counts, k, pivots)
+        py = split_around_pivot(keys, counts, k, pivots,
+                                force_python=True)
+        assert len(nat) == len(py)
+        for a, b in zip(nat, py):
+            assert np.array_equal(a.kmers, b.kmers)
+            assert a.weight == b.weight
+            assert a.n_pivot == b.n_pivot
