@@ -405,24 +405,28 @@ def _timed(f) -> float:
     return time.perf_counter() - t0
 
 
-def stress():
+def stress(n_samples: int = 8):
     """CAMI-scale multi-sample pipeline on the default backend (config #2).
 
-    3 samples sharing a 1.5 Mbp backbone within 4 Mbp genomes at 12x
-    coverage (~38M k-mers each): full matrix pipeline (count -> contigs
-    -> components -> features -> Bray-Curtis).  Prints ONE JSON line.
+    S samples (default 8 — VERDICT r4 #5 asked for S > 3) sharing a
+    1 Mbp backbone within 2.5 Mbp genomes at 12x coverage (~19M k-mers
+    each): full matrix pipeline (count -> contigs -> components ->
+    features -> Bray-Curtis) plus the presence/stats tier (bit-packed
+    membership + per-key cardinalities over the union key set).  Prints
+    ONE JSON line with the per-stage and per-sample split so stage
+    scaling in S is visible.
     """
     import resource
 
     from metafast_tpu.pipeline import matrix_pipeline
 
-    GEN, SHARE, COV = 4_000_000, 1_500_000, 12
+    GEN, SHARE, COV = 2_500_000, 1_000_000, 12
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     backbone = bases[rng.integers(0, 4, SHARE)]
     with tempfile.TemporaryDirectory() as td:
         files = []
-        for s in range(3):
+        for s in range(n_samples):
             genome = np.concatenate(
                 [backbone, bases[rng.integers(0, 4, GEN - SHARE)]])
             n_reads = GEN * COV // READ_LEN
@@ -435,7 +439,7 @@ def stress():
                     fh.write(reads[i].tobytes())
                     fh.write(b"\n")
             files.append(fp)
-        n_kmers = 3 * (GEN * COV // READ_LEN) * (READ_LEN - K + 1)
+        n_kmers = n_samples * (GEN * COV // READ_LEN) * (READ_LEN - K + 1)
         t0 = time.perf_counter()
         # matrix_pipeline emits each progress event at the END of its
         # stage, and stages run strictly sequentially (no overlap), so
@@ -452,34 +456,61 @@ def stress():
 
         res = matrix_pipeline(files, k=K, b=1, l=100, b1=1000, b2=10000,
                               progress=progress)
+        dt_matrix = time.perf_counter() - t0
+
+        # presence/stats tier over the union key set (stats/presence.py)
+        from metafast_tpu.stats.presence import PackedPresence
+
+        t1 = time.perf_counter()
+        union = np.unique(np.concatenate(
+            [t[0] for t in res.sample_tables]))
+        pp = PackedPresence.from_tables(res.sample_tables, union)
+        card = pp.cardinality()
+        card_a = pp.cardinality(0, n_samples // 2)
+        dt_presence = time.perf_counter() - t1
         dt = time.perf_counter() - t0
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1048576
-    off = res.matrix[np.triu_indices(3, 1)]
+    off = res.matrix[np.triu_indices(n_samples, 1)]
     # per-stage split from the event timeline (count+contigs interleave
     # per sample; components is one event; the rest is features+matrix)
     stage_s = {}
+    per_sample = {"count": [], "contigs": []}
     prev = 0.0
     for stage, name, at in marks:
         stage_s[stage] = stage_s.get(stage, 0.0) + (at - prev)
+        if stage in per_sample:
+            per_sample[stage].append(round(at - prev, 1))
         prev = at
-    stage_s["features_matrix"] = round(dt - prev, 1)
+    stage_s["features_matrix"] = round(dt_matrix - prev, 1)
+    stage_s["presence_stats"] = round(dt_presence, 1)
     print(json.dumps({
         "metric": "cami_scale_matrix_pipeline_throughput",
         "value": round(n_kmers / dt, 1),
         "unit": "kmers/s",
         "vs_baseline": None,
+        "n_samples": n_samples,
         "wall_s": round(dt, 1),
         "total_kmers": n_kmers,
         "peak_host_rss_gb": round(peak_gb, 2),
         "n_components": len(res.components),
+        "union_keys": int(len(union)),
+        "cardinality_mean": round(float(card.mean()), 2),
+        "cardinality_groupA_mean": round(float(card_a.mean()), 2),
         "uniques_per_sample": [len(t[0]) for t in res.sample_tables],
-        "offdiag_distances": [round(float(x), 4) for x in off],
+        "offdiag_min_max": [round(float(off.min()), 4),
+                            round(float(off.max()), 4)],
         "stage_seconds": {k: round(v, 1) for k, v in stage_s.items()},
+        # per-sample splits expose any superlinear-in-S stage
+        "per_sample_seconds": per_sample,
     }))
 
 
 if __name__ == "__main__":
     if "--stress" in sys.argv:
-        stress()
+        ns = 8
+        for a in sys.argv:
+            if a.startswith("--samples="):
+                ns = int(a.split("=", 1)[1])
+        stress(ns)
     else:
         main()
