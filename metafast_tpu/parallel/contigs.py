@@ -121,21 +121,47 @@ def _sharded_doubling(succ_blocks, *, mesh: Mesh, rounds: int):
 
 def sharded_doubling(succ, mesh: Mesh):
     """(term, dist, reached) for a successor forest, edge-cut over the
-    mesh.  Matches graph.contigs._doubling on every node."""
-    succ = np.asarray(succ)
+    mesh.  Matches graph.contigs._doubling on every node.
+
+    On multi-process meshes each process feeds its addressable row
+    blocks and results come back through a DCN allgather — the same
+    discipline as parallel.components.sharded_connected_labels."""
+    succ = np.asarray(succ, dtype=np.int32)
     n = len(succ)
     d = mesh.shape[AXIS]
     b = -(-n // d)
     pad = d * b - n
     if pad:
         succ = np.concatenate([succ, np.full(pad, -1, np.int32)])
-    blocks = jnp.asarray(succ.reshape(d, b))
+    blocks = succ.reshape(d, b)
     sharding = jax.NamedSharding(mesh, P(AXIS))
-    blocks = jax.device_put(blocks, sharding)
+    multiproc = jax.process_count() > 1 and any(
+        dv.process_index != jax.process_index() for dv in mesh.devices.flat)
+    if multiproc:
+        pidx = np.array([dv.process_index for dv in mesh.devices.flat])
+        assert (np.diff(pidx) >= 0).all(), (
+            "sharded_doubling expects process-contiguous mesh rows")
+        mine = np.nonzero(pidx == jax.process_index())[0]
+        dblocks = jax.make_array_from_process_local_data(
+            sharding, blocks[mine], (d, b))
+    else:
+        dblocks = jax.device_put(jnp.asarray(blocks), sharding)
     rounds = max(1, int(np.ceil(np.log2(max(2, d * b)))) + 1)
-    ptr, dist, reached = _sharded_doubling(blocks, mesh=mesh,
+    ptr, dist, reached = _sharded_doubling(dblocks, mesh=mesh,
                                            rounds=rounds)
-    ptr = np.asarray(ptr).reshape(-1)[:n]
-    dist = np.asarray(dist).reshape(-1)[:n]
-    reached = np.asarray(reached).reshape(-1)[:n]
-    return ptr, dist, reached
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        def _gather(a):
+            loc = np.concatenate(
+                [np.asarray(s.data).reshape(-1)
+                 for s in sorted(a.addressable_shards,
+                                 key=lambda s: s.index[0].start or 0)])
+            return np.asarray(
+                multihost_utils.process_allgather(loc)).reshape(-1)
+
+        return (_gather(ptr)[:n], _gather(dist)[:n],
+                _gather(reached)[:n].astype(bool))
+    return (np.asarray(ptr).reshape(-1)[:n],
+            np.asarray(dist).reshape(-1)[:n],
+            np.asarray(reached).reshape(-1)[:n])
