@@ -295,10 +295,16 @@ def _bench_graph_stages(table):
     hi, lo, cnt = table
     out = {}
 
-    # full live table up to 2^23 keys (VERDICT r3 #1: >= 2^23, no cap
-    # at 2^22).  If sliced, re-pad the tail with SENTINEL so the table
-    # honors chain_structure's documented contract (r3 advisor).
-    M = min(int(hi.shape[0]), 1 << 23)
+    # full live table, padded to the {2^k, 3*2^(k-1)} bucket the real
+    # pipeline uses (graph stages scale with PADDED size; the r4 bench
+    # padded ~5M live keys to 2^23 and timed 40% dead rows), capped at
+    # 2^23 (VERDICT r3 #1: >= 2^23 capacity, no cap at 2^22).  If
+    # sliced, re-pad the tail with SENTINEL so the table honors
+    # chain_structure's documented contract (r3 advisor).
+    from metafast_tpu.graph.contigs import _table_bucket
+
+    n_live_graph = int(np.asarray(jnp.sum(cnt > 0)))
+    M = min(_table_bucket(n_live_graph + 16), int(hi.shape[0]), 1 << 23)
     ghi = jax.lax.slice_in_dim(hi, 0, M)
     glo = jax.lax.slice_in_dim(lo, 0, M)
     if M < int(hi.shape[0]):
