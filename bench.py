@@ -109,6 +109,11 @@ def main():
         base_rate = native_baseline(codes, lengths)
 
         # ---- device-only: pre-staged slabs -> counted table on device ----
+        # compact 3-stream layout (r5): ~1.07 sorted slots per k-mer
+        # instead of ~1.26 — the sort is the bound (PERF.md section 3)
+        from metafast_tpu.ops.stream_extract import (build_stream3,
+                                                     stream3_extract)
+
         slab_codes = 1 << 27
         offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
         slabs = []
@@ -117,18 +122,18 @@ def main():
             r1 = int(np.searchsorted(offs, offs[r0] + slab_codes,
                                      side="right")) - 1
             r1 = min(max(r1, r0 + 1), len(lengths))
-            w, v, _ = build_stream(codes[offs[r0]:offs[r1]], lengths[r0:r1],
-                                   K)
-            slabs.append((jax.device_put(w), jax.device_put(v),
-                          lengths[r0:r1]))
+            w0_, w1_, w2_, vm_, _ = build_stream3(
+                codes[offs[r0]:offs[r1]], lengths[r0:r1], K)
+            slabs.append(([jax.device_put(x)
+                           for x in (w0_, w1_, w2_, vm_)], lengths[r0:r1]))
             r0 = r1
-        force_sync(*[s[0] for s in slabs], *[s[1] for s in slabs])
-        h2d_bytes = sum(s[0].nbytes + s[1].nbytes for s in slabs)
+        force_sync(*[b for s in slabs for b in s[0]])
+        h2d_bytes = sum(b.nbytes for s in slabs for b in s[0])
 
         def device_only():
             counter = KmerCounter(K)
-            for w, v, ls in slabs:
-                counter.add_stream_device(w, v, ls)
+            for bufs, ls in slabs:
+                counter.add_stream3_device(*bufs, ls)
             hi, lo, cnt = counter.finish_device()
             force_sync(hi, lo, cnt)
             return hi, lo, cnt
@@ -139,10 +144,10 @@ def main():
         dev_rate = n_kmers / t_dev
 
         # ---- per-stage device breakdown of the counting path ----
-        w0, v0 = slabs[0][0], slabs[0][1]
+        bufs0 = slabs[0][0]
         t_ext = _timed_median(
-            lambda: force_sync(*stream_extract(w0, v0, K)), 3)
-        hi0, lo0 = stream_extract(w0, v0, K)
+            lambda: force_sync(*stream3_extract(*bufs0, K)), 3)
+        hi0, lo0 = stream3_extract(*bufs0, K)
         hi0, lo0 = hi0.reshape(-1), lo0.reshape(-1)
         n_slots = hi0.shape[0]
         force_sync(hi0, lo0)

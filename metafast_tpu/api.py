@@ -340,7 +340,8 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
 
         import jax
 
-        from .ops.stream_extract import build_stream
+        from .native import load_library
+        from .ops.stream_extract import build_stream, build_stream3
         from .utils.device import SMALL_ELEMENTS, cpu_device
 
         # the worker thread does not inherit the small_scope default-
@@ -348,12 +349,19 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
         # resolved here and passed explicitly
         small = (total_bases if not py_files else 1 << 62) < SMALL_ELEMENTS
         put_dev = cpu_device() if small else None
+        # compact 3-stream layout when the native builder exists: the
+        # sort (the counting bound) runs on ~1.07 slots/kmer instead of
+        # ~1.26 — measured 161 -> 183 M k-mers/s device-only (r5)
+        use3 = load_library() is not None
 
         def _prepare(codes_s, lengths_s):
+            if use3:
+                w0, w1, w2, vm, _ = build_stream3(codes_s, lengths_s, k)
+                return ([jax.device_put(x, put_dev)
+                         for x in (w0, w1, w2, vm)], lengths_s)
             words, vmask, _ = build_stream(codes_s, lengths_s, k)
-            wd = jax.device_put(words, put_dev)
-            vd = jax.device_put(vmask, put_dev)
-            return wd, vd, lengths_s
+            return ([jax.device_put(words, put_dev),
+                     jax.device_put(vmask, put_dev)], lengths_s)
 
         def _slabs():
             for path, codes, lengths in parsed_files:
@@ -370,8 +378,11 @@ def count_reads_files(files: list[str], k: int, min_len: int = 0,
 
         def _consume(fut, path):
             nonlocal reads_done, kmers_est
-            wd, vd, ls = fut.result()
-            counter.add_stream_device(wd, vd, ls)
+            bufs, ls = fut.result()
+            if use3:
+                counter.add_stream3_device(*bufs, ls)
+            else:
+                counter.add_stream_device(*bufs, ls)
             if progress is not None:
                 reads_done += len(ls)
                 kmers_est += int(np.maximum(

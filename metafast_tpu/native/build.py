@@ -63,6 +63,10 @@ def load_library():
         lib.count_kmers_baseline.restype = i64
         lib.count_kmers_baseline.argtypes = [p8, p32, i64, ctypes.c_int32,
                                              pu64, pu16, ctypes.c_int32, p64]
+        lib.build_stream3_cols.restype = None
+        lib.build_stream3_cols.argtypes = [p8, i64, p32, i64,
+                                           ctypes.c_int32, pu32, pu32,
+                                           pu32, pu32, i64]
         lib.build_neighbor_index.restype = ctypes.c_int32
         lib.build_neighbor_index.argtypes = [p64, i64, ctypes.c_int32,
                                              ctypes.c_int32, p32, p32]

@@ -306,6 +306,56 @@ void pack_batch(const uint8_t* codes, const int64_t* offsets,
         memset(out + n_reads * stride, 0, (size_t)((rows - n_reads) * stride));
 }
 
+// Compact 3-stream column builder (r5): each read starts at a fresh
+// 16-code word boundary and contributes ONLY the words that contain
+// valid window starts (ceil((len-k+1)/16) per read); the one/two-word
+// lookahead context rides as separate aligned arrays, so the device
+// kernel needs no overlap rows and the sort — the counting bound —
+// runs on ~6% padding instead of ~21% + boundary waste.
+//   codes/lengths  the parser's concatenated 2-bit codes
+//   w0/w1/w2/vm    [n_cols, 256] u32 outputs (row-major numpy arrays;
+//                  emit word g lands at flat index g); n_cols*256 must
+//                  be >= the total emit word count (caller computes it)
+void build_stream3_cols(const uint8_t* codes, int64_t n_codes,
+                        const int32_t* lengths, int64_t n_reads,
+                        int32_t k, uint32_t* w0, uint32_t* w1,
+                        uint32_t* w2, uint32_t* vm, int64_t cap_words) {
+    (void)n_codes;
+    int64_t g = 0;        // global emit word index
+    int64_t off = 0;      // read offset into codes
+    for (int64_t r = 0; r < n_reads; r++) {
+        int32_t len = lengths[r];
+        if (len < k) { off += len; continue; }
+        int32_t n_win = len - k + 1;
+        int32_t e = (n_win + 15) / 16;
+        const uint8_t* rc = codes + off;
+        // pack words 0 .. e+1 of this read (zero beyond len)
+        uint32_t prev = 0, cur = 0;
+        // compute word t lazily: w(t) packs codes [16t, 16t+16)
+        auto word_at = [&](int32_t t) -> uint32_t {
+            uint32_t w = 0;
+            int32_t base = 16 * t;
+            int32_t end = base + 16 < len ? base + 16 : len;
+            for (int32_t p = base; p < end; p++)
+                w |= (uint32_t)(rc[p] & 3u) << (2 * (p - base));
+            return w;
+        };
+        uint32_t wa = word_at(0), wb = word_at(1), wc = word_at(2);
+        for (int32_t i = 0; i < e; i++) {
+            if (g >= cap_words) return;    // caller sized this; safety
+            w0[g] = wa;
+            w1[g] = wb;
+            w2[g] = wc;
+            int32_t rem = n_win - 16 * i;
+            vm[g] = rem >= 16 ? 0xFFFFu : ((1u << rem) - 1u);
+            g++;
+            wa = wb; wb = wc; wc = word_at(i + 3);
+        }
+        off += len;
+        (void)prev; (void)cur;
+    }
+}
+
 // Reference-style single-thread k-mer counter: rolling canonical ShortKmer
 // loop + open-addressing hash table with linear probing and saturating
 // 16-bit adds -- a native-speed stand-in for the Java toolkit's hot loop

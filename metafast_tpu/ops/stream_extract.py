@@ -288,3 +288,153 @@ def _pack_words16(c: np.ndarray) -> np.ndarray:
     by = (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4)
           | (b[:, 3] << 6)).astype(np.uint8)
     return np.ascontiguousarray(by).view(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Compact 3-stream layout (r5): boundary windows never enter the sort
+# ---------------------------------------------------------------------------
+#
+# The overlapping-column stream above emits one slot per code POSITION, so
+# every read contributes k-1 invalid boundary slots (~20% at 150 bp) that
+# the sort — the counting bound — pays for.  The compact layout starts
+# each read at a fresh word boundary and emits ONLY the words containing
+# valid window starts (ceil((len-k+1)/16) per read, ~6% padding at
+# 150 bp); the one/two-word lookahead context rides as separate aligned
+# arrays (w1, w2), so the kernel has no cross-word dependencies at all —
+# no overlap rows, no rolls.  Measured effect: the 2^27-code bench slab
+# drops from 101.2M to ~85.4M sorted slots.
+
+
+def stream3_words(lengths: np.ndarray, k: int) -> int:
+    """Total emit words for a read set (before column padding)."""
+    if len(lengths) == 0:
+        return 0
+    nw = np.maximum(lengths.astype(np.int64) - (k - 1), 0)
+    return int(((nw + 15) // 16).sum())
+
+
+def build_stream3(codes: np.ndarray, lengths: np.ndarray, k: int,
+                  lane_multiple: int = LANE_TILE, min_cols: int = 0):
+    """Pack reads into compact (w0, w1, w2, vmask) word columns.
+
+    Returns 4 u32 arrays [C, ROWS] (column-major like build_stream) and
+    n_valid.  Uses the C++ single-pass builder when available; the NumPy
+    fallback below is the executable spec (per-read loop — fine for
+    tests, the native path is the production one).
+    """
+    lengths = np.asarray(lengths, dtype=np.int32)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    W = stream3_words(lengths, k)
+    n_cols = max(1, -(-W // ROWS), min_cols)
+    n_cols = -(-n_cols // lane_multiple) * lane_multiple
+    n_valid = int(np.maximum(
+        lengths.astype(np.int64) - (k - 1), 0).sum()) if len(lengths) else 0
+
+    import ctypes
+
+    from ..native import load_library
+
+    lib = load_library()
+    shape = (n_cols, ROWS)
+    if lib is not None and hasattr(lib, "build_stream3_cols"):
+        w0 = np.zeros(shape, dtype=np.uint32)
+        w1 = np.zeros(shape, dtype=np.uint32)
+        w2 = np.zeros(shape, dtype=np.uint32)
+        vm = np.zeros(shape, dtype=np.uint32)
+        pu32 = ctypes.POINTER(ctypes.c_uint32)
+        lib.build_stream3_cols(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(codes),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(lengths), k,
+            w0.ctypes.data_as(pu32), w1.ctypes.data_as(pu32),
+            w2.ctypes.data_as(pu32), vm.ctypes.data_as(pu32),
+            n_cols * ROWS)
+        return w0, w1, w2, vm, n_valid
+
+    flat0 = np.zeros(n_cols * ROWS, dtype=np.uint32)
+    flat1 = np.zeros(n_cols * ROWS, dtype=np.uint32)
+    flat2 = np.zeros(n_cols * ROWS, dtype=np.uint32)
+    flatv = np.zeros(n_cols * ROWS, dtype=np.uint32)
+    g = 0
+    off = 0
+    for ln in lengths:
+        ln = int(ln)
+        if ln < k:
+            off += ln
+            continue
+        n_win = ln - k + 1
+        e = -(-n_win // 16)
+        rc = codes[off:off + ln]
+        # 16(e+2) >= len - k + 33 > len for k <= 31: context always fits
+        padded = np.zeros(16 * (e + 2), dtype=np.uint8)
+        padded[:ln] = rc
+        words = _pack_words16(padded)
+        flat0[g:g + e] = words[0:e]
+        flat1[g:g + e] = words[1:e + 1]
+        flat2[g:g + e] = words[2:e + 2]
+        rem = n_win - 16 * np.arange(e)
+        flatv[g:g + e] = np.where(rem >= 16, 0xFFFF,
+                                  (1 << np.maximum(rem, 0)) - 1)
+        g += e
+        off += ln
+    return (flat0.reshape(shape), flat1.reshape(shape),
+            flat2.reshape(shape), flatv.reshape(shape), n_valid)
+
+
+def _kernel3(k: int):
+    def kern(w0_ref, w1_ref, w2_ref, vm_ref, hi_ref, lo_ref):
+        hi, lo = _window_math(w0_ref[:], w1_ref[:], w2_ref[:],
+                              vm_ref[:], k)
+        hi_ref[:] = hi
+        lo_ref[:] = lo
+    return kern
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def stream3_extract_pallas(w0_cm, w1_cm, w2_cm, vm_cm, k: int,
+                           interpret: bool = False):
+    """Pallas path: 4x [C, ROWS] u32 -> (hi, lo) [16, ROWS, C]."""
+    w0 = w0_cm.T
+    w1 = w1_cm.T
+    w2 = w2_cm.T
+    vm = vm_cm.T
+    R, C = w0.shape
+    tile = LANE_TILE if C % LANE_TILE == 0 else C
+    assert R == ROWS and C % tile == 0, (R, C)
+    grid = (C // tile,)
+    in_spec = pl.BlockSpec((R, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((16, R, tile), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    hi, lo = pl.pallas_call(
+        _kernel3(k),
+        grid=grid,
+        in_specs=[in_spec] * 4,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((16, R, C), U32),
+            jax.ShapeDtypeStruct((16, R, C), U32),
+        ),
+        interpret=interpret,
+    )(w0, w1, w2, vm)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("k",))
+def stream3_extract_xla(w0_cm, w1_cm, w2_cm, vm_cm, k: int):
+    """Plain-XLA fallback: identical math, identical outputs."""
+    return _window_math(w0_cm.T, w1_cm.T, w2_cm.T, vm_cm.T, k)
+
+
+def stream3_extract(w0_cm, w1_cm, w2_cm, vm_cm, k: int):
+    """Dispatch: Pallas on TPU, XLA elsewhere (see stream_extract)."""
+    try:
+        platform = jax.config.jax_default_device.platform \
+            if jax.config.jax_default_device is not None \
+            else jax.devices()[0].platform
+    except Exception:
+        platform = jax.default_backend()
+    if platform in ("tpu", "axon"):
+        return stream3_extract_pallas(w0_cm, w1_cm, w2_cm, vm_cm, k)
+    return stream3_extract_xla(w0_cm, w1_cm, w2_cm, vm_cm, k)

@@ -126,3 +126,64 @@ def test_counter_stream_path_matches_padded():
     assert np.array_equal(k1, k2)
     assert np.array_equal(n1, n2)
     assert c1.total_kmers_seen == c2.total_kmers_seen
+
+
+def test_stream3_multiset_matches_extract(tmp_path):
+    """Compact 3-stream extraction (build_stream3 + stream3_extract)
+    emits exactly the valid-window multiset — native builder, numpy
+    spec, and the counter end-to-end all agree (r5: boundary windows
+    never enter the sort)."""
+    import collections
+
+    import metafast_tpu.native.build as nb
+    from metafast_tpu.core import bitpack as bp
+    from metafast_tpu.ops.count import KmerCounter
+    from metafast_tpu.ops.stream_extract import (build_stream3,
+                                                 stream3_extract_xla)
+    from metafast_tpu.utils.kmers import sequence_kmers
+
+    rng = np.random.default_rng(5)
+    B = "AGCT"
+    for k in (11, 16, 31):
+        n_reads = 200
+        lengths = rng.integers(1, 180, n_reads).astype(np.int32)
+        codes = rng.integers(0, 4, int(lengths.sum()), dtype=np.uint8)
+        offs = np.r_[0, np.cumsum(lengths)]
+        want = []
+        for i in range(n_reads):
+            s = "".join(B[c] for c in codes[offs[i]:offs[i + 1]])
+            if len(s) >= k:
+                want.extend(sequence_kmers(s, k))
+        want = np.sort(np.array(want, dtype=np.int64))
+
+        outs = []
+        for use_native in (True, False):
+            saved = nb._lib
+            if not use_native:
+                nb._lib = None
+            try:
+                w0, w1, w2, vm, n_valid = build_stream3(codes, lengths, k)
+            finally:
+                nb._lib = saved
+            hi, lo = stream3_extract_xla(
+                jnp.asarray(w0), jnp.asarray(w1), jnp.asarray(w2),
+                jnp.asarray(vm), k)
+            hi = np.asarray(hi).ravel()
+            lo = np.asarray(lo).ravel()
+            live = ~((hi == bp.SENTINEL) & (lo == bp.SENTINEL))
+            got = np.sort(((hi[live].astype(np.uint64) << np.uint64(32))
+                           | lo[live]).astype(np.int64))
+            assert n_valid == len(want)
+            assert np.array_equal(got, want)
+            outs.append((w0, w1, w2, vm))
+        for a, b in zip(outs[0], outs[1]):
+            assert np.array_equal(a, b)
+
+        c = KmerCounter(k, capacity=1 << 12)
+        c.add_stream3(codes, lengths)
+        keys, cnts = c.finish()
+        wc = collections.Counter(want.tolist())
+        assert np.array_equal(keys, np.array(sorted(wc), np.int64))
+        assert np.array_equal(
+            cnts, np.array([min(wc[x], 32767) for x in sorted(wc)],
+                           np.int32))
