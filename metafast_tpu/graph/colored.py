@@ -80,6 +80,12 @@ def split_colored(keys: np.ndarray, values: np.ndarray, k: int,
     N = len(keys)
     color = get_color(values, perc)
 
+    if not linear and N:
+        native = _split_colored_native(keys, color, k, n_groups,
+                                       separate, n_comps)
+        if native is not None:
+            return native
+
     rn = right_neighbors_np(keys, k)
     ln = left_neighbors_np(keys, k)
     nbr_keys = np.concatenate([rn, ln], axis=1)       # [N, 8]
@@ -112,6 +118,58 @@ def split_colored(keys: np.ndarray, values: np.ndarray, k: int,
             members = np.array(sorted(comp), dtype=np.int64)
             ans[c].append(ColoredComponent(
                 kmers=keys[members], weight=len(comp), color=c))
+    return ans
+
+
+def _split_colored_native(keys, color, k, n_groups, separate, n_comps
+                          ) -> dict[int, list[ColoredComponent]] | None:
+    """Default-mode traversal in C++ (fastparse.cpp colored_bfs — the
+    exact mirror of _bfs below, ~50M nodes/s vs ~170K/s Python); index
+    tables built in one native hash pass.  None = library unavailable or
+    members overflow (caller falls back to the Python spec)."""
+    import ctypes
+
+    from ..native import load_library
+
+    lib = load_library()
+    if lib is None:
+        return None
+    N = len(keys)
+    log2 = max(10, int(np.ceil(np.log2(max(N, 2)))) + 1)
+    left = np.empty((N, 4), dtype=np.int32)
+    right = np.empty((N, 4), dtype=np.int32)
+    keys_c = np.ascontiguousarray(keys, dtype=np.int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.build_neighbor_index(
+        keys_c.ctypes.data_as(p64), N, k, log2,
+        left.ctypes.data_as(p32), right.ctypes.data_as(p32))
+    if rc != 0:
+        return None
+    # the python path iterates right columns first, then left
+    nbrs = np.ascontiguousarray(
+        np.concatenate([right, left], axis=1), dtype=np.int32)
+    color8 = np.ascontiguousarray(color, dtype=np.int8)
+    members_cap = 4 * N + 64
+    members = np.empty(members_cap, dtype=np.int32)
+    max_comps = N + 1
+    comp_off = np.empty(max_comps + 1, dtype=np.int64)
+    comp_col = np.empty(max_comps, dtype=np.int32)
+    n_comp = lib.colored_bfs(
+        nbrs.ctypes.data_as(p32),
+        color8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        N, n_groups, 1 if separate else 0, n_comps,
+        members.ctypes.data_as(p32), members_cap,
+        comp_off.ctypes.data_as(p64), comp_col.ctypes.data_as(p32),
+        max_comps)
+    if n_comp < 0:
+        return None
+    ans: dict[int, list[ColoredComponent]] = {g: [] for g in range(n_groups)}
+    for ci in range(n_comp):
+        m = members[comp_off[ci]:comp_off[ci + 1]].astype(np.int64)
+        c = int(comp_col[ci])
+        ans[c].append(ColoredComponent(
+            kmers=keys[np.sort(m)], weight=len(m), color=c))
     return ans
 
 

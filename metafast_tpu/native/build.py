@@ -70,6 +70,11 @@ def load_library():
         lib.build_neighbor_index.restype = ctypes.c_int32
         lib.build_neighbor_index.argtypes = [p64, i64, ctypes.c_int32,
                                              ctypes.c_int32, p32, p32]
+        pi8 = ctypes.POINTER(ctypes.c_int8)
+        lib.colored_bfs.restype = i64
+        lib.colored_bfs.argtypes = [p32, pi8, i64, ctypes.c_int32,
+                                    ctypes.c_int32, i64, p32, i64, p64,
+                                    p32, i64]
         lib.pivot_bfs_depth1.restype = i64
         lib.pivot_bfs_depth1.argtypes = [p32, p32, p64, p8, i64, p64, i64,
                                          p32, i64, p64, p64, p64, i64]

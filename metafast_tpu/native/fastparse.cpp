@@ -751,6 +751,80 @@ int64_t pivot_bfs_depth1(const int32_t* left, const int32_t* right,
     return overflow ? -1 : n_comp;
 }
 
+// Colored component BFS (default, non-linear mode) — exact mirror of
+// graph/colored.py _bfs: BFS from each unvisited colored seed in
+// ascending index order; same-color neighbors are consumed (visited),
+// gray (color -1) neighbors join the component WITHOUT being consumed
+// (so one gray node can belong to several components), other colors
+// stop the walk.  Reference: src/algo/ColoredComponentsBuilder.java.
+//   nbrs: [n, 8] neighbor indices (-1 absent); color: [n] int8
+//   n_comps: per-group component cap (-1 = unlimited)
+// Returns the component count, or -1 on members/max_comps overflow
+// (caller falls back to Python).
+int64_t colored_bfs(const int32_t* nbrs, const int8_t* color, int64_t n,
+                    int32_t n_groups, int32_t separate, int64_t n_comps,
+                    int32_t* members, int64_t members_cap,
+                    int64_t* comp_off, int32_t* comp_color,
+                    int64_t max_comps) {
+    uint8_t* visited = (uint8_t*)calloc(n, 1);
+    int64_t* in_comp = (int64_t*)malloc((size_t)n * sizeof(int64_t));
+    int32_t* queue = (int32_t*)malloc((size_t)n * 2 * sizeof(int32_t));
+    int64_t* per_group = (int64_t*)calloc(n_groups, sizeof(int64_t));
+    if (!visited || !in_comp || !queue || !per_group) {
+        free(visited); free(in_comp); free(queue); free(per_group);
+        return -1;
+    }
+    for (int64_t i = 0; i < n; i++) in_comp[i] = -1;
+    int64_t n_comp = 0, mout = 0;
+    bool overflow = false;
+    for (int64_t start = 0; start < n && !overflow; start++) {
+        if (n_comps != -1) {
+            int64_t tot = 0;
+            for (int32_t g2 = 0; g2 < n_groups; g2++) tot += per_group[g2];
+            if (tot >= (int64_t)n_groups * n_comps) break;
+        }
+        if (visited[start]) continue;
+        int32_t c = color[start];
+        if (c < 0 || c >= n_groups) continue;
+        if (n_comps != -1 && per_group[c] >= n_comps) continue;
+        if (n_comp >= max_comps) { overflow = true; break; }
+        comp_off[n_comp] = mout;
+        int64_t qh = 0, qt = 0;
+        visited[start] = 1;
+        in_comp[start] = n_comp;
+        if (mout < members_cap) members[mout++] = (int32_t)start;
+        else { overflow = true; break; }
+        queue[qt++] = (int32_t)start;
+        while (qh < qt && !overflow) {
+            int32_t i = queue[qh++];
+            const int32_t* row = nbrs + 8 * (int64_t)i;
+            for (int s = 0; s < 8; s++) {
+                int32_t j = row[s];
+                if (j < 0 || visited[j]) continue;
+                int32_t cj = color[j];
+                if (cj == c) {
+                    visited[j] = 1;
+                    in_comp[j] = n_comp;
+                    if (mout < members_cap) members[mout++] = j;
+                    else { overflow = true; break; }
+                    queue[qt++] = j;
+                } else if (!separate && cj == -1 && in_comp[j] != n_comp) {
+                    in_comp[j] = n_comp;
+                    if (mout < members_cap) members[mout++] = j;
+                    else { overflow = true; break; }
+                    queue[qt++] = j;
+                }
+            }
+        }
+        comp_color[n_comp] = c;
+        per_group[c]++;
+        n_comp++;
+    }
+    comp_off[n_comp] = mout;
+    free(visited); free(in_comp); free(queue); free(per_group);
+    return overflow ? -1 : n_comp;
+}
+
 // BFS connected components over a counted canonical k-mer table: scan for
 // an unvisited key, BFS through the 8 canonical neighbor candidates
 // (possibleNeighbours), mark visited by negating the stored count -- the

@@ -188,3 +188,46 @@ def test_native_pivot_bfs_matches_python():
             assert np.array_equal(a.kmers, b.kmers)
             assert a.weight == b.weight
             assert a.n_pivot == b.n_pivot
+
+
+def test_native_colored_bfs_matches_python():
+    """The native colored-component traversal (fastparse.cpp colored_bfs)
+    exactly mirrors the Python _bfs, including gray multi-membership,
+    separate mode, and the per-group component cap."""
+    import metafast_tpu.native.build as nb
+    from metafast_tpu.graph import colored as C
+    from metafast_tpu.oracle import reference as oracle
+
+    rng = np.random.default_rng(17)
+    bases = "ACGT"
+    for trial in range(4):
+        k = 13
+        table = {}
+        share = "".join(bases[i] for i in rng.integers(0, 4, 300))
+        for g in range(3):
+            genome = share + "".join(
+                bases[i] for i in rng.integers(0, 4,
+                                               int(rng.integers(400, 1200))))
+            reads = [genome[s:s + 60]
+                     for s in rng.integers(0, max(len(genome) - 60, 1), 350)]
+            for key, c in oracle.count_reads(reads, k).items():
+                v = table.get(key, 0)
+                table[key] = C.add_value(np.array([v]), g, min(c, 100))[0]
+        keys = np.array(sorted(table), dtype=np.int64)
+        values = np.array([table[int(x)] for x in keys], dtype=np.int64)
+        sep = bool(trial % 2)
+        ncmp = -1 if trial % 2 else 3
+        nat = C.split_colored(keys, values, k, separate=sep, n_comps=ncmp)
+        saved = nb._lib
+        nb._lib = None
+        try:
+            py = C.split_colored(keys, values, k, separate=sep,
+                                 n_comps=ncmp)
+        finally:
+            nb._lib = saved
+        assert set(nat) == set(py)
+        for g in nat:
+            assert len(nat[g]) == len(py[g])
+            for a, b in zip(nat[g], py[g]):
+                assert np.array_equal(a.kmers, b.kmers)
+                assert a.weight == b.weight and a.color == b.color
