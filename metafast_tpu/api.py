@@ -213,6 +213,10 @@ def count_reads_files_sharded(files: list[str], k: int, mesh,
                 n_skipped += sacct
             offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
             cuts = _slab_plan(lengths, offs)
+            from .native import load_library
+            from .ops.stream_extract import stream3_cols
+
+            use3 = load_library() is not None
             if multi:
                 # one small DCN allgather keeps slab shapes in lockstep:
                 # lane unit from the GLOBAL code volume, per-slab column
@@ -220,9 +224,14 @@ def count_reads_files_sharded(files: list[str], k: int, mesh,
                 total_codes = _allgather_sum(int(offs[-1]))
                 unit = 128 if total_codes >= (1 << 22) else 8
                 lane_mult = local_dev * unit
-                cols = np.array(
-                    [stream_cols(int(offs[r1] - offs[r0]), lane_mult)
-                     for r0, r1 in cuts], dtype=np.int32)
+                if use3:
+                    cols = np.array(
+                        [stream3_cols(lengths[r0:r1], k, lane_mult)
+                         for r0, r1 in cuts], dtype=np.int32)
+                else:
+                    cols = np.array(
+                        [stream_cols(int(offs[r1] - offs[r0]), lane_mult)
+                         for r0, r1 in cuts], dtype=np.int32)
                 from jax.experimental import multihost_utils
                 cnt = multihost_utils.process_allgather(
                     np.array([len(cols)], np.int32))
@@ -238,30 +247,24 @@ def count_reads_files_sharded(files: list[str], k: int, mesh,
                 targets = [0] * len(cuts)
 
             def _prepare(r0, r1, min_cols):
+                if use3:
+                    from .ops.stream_extract import build_stream3
+
+                    return build_stream3(codes[offs[r0]:offs[r1]],
+                                         lengths[r0:r1], k,
+                                         lane_multiple=lane_mult,
+                                         min_cols=int(min_cols))[:4]
                 return build_stream(codes[offs[r0]:offs[r1]],
                                     lengths[r0:r1], k,
                                     lane_multiple=lane_mult,
-                                    min_cols=int(min_cols))
+                                    min_cols=int(min_cols))[:2]
 
-            pending = None
-            for (r0, r1), tgt in zip(cuts, targets):
-                fut = pool.submit(_prepare, r0, r1, tgt)
-                if pending is not None:
-                    (pr0, pr1), pfut = pending
-                    words, vmask, _ = pfut.result()
-                    counter.add_stream(words, vmask, lengths[pr0:pr1])
-                    if progress is not None:
-                        reads_done += pr1 - pr0
-                        kmers_est += int(np.maximum(
-                            lengths[pr0:pr1].astype(np.int64) - (k - 1),
-                            0).sum())
-                        progress(dict(path=path, reads=reads_done,
-                                      kmers=kmers_est))
-                pending = ((r0, r1), fut)
-            if pending is not None:
-                (pr0, pr1), pfut = pending
-                words, vmask, _ = pfut.result()
-                counter.add_stream(words, vmask, lengths[pr0:pr1])
+            def _feed(pr0, pr1, bufs):
+                nonlocal reads_done, kmers_est
+                if use3:
+                    counter.add_stream3(*bufs, lengths[pr0:pr1])
+                else:
+                    counter.add_stream(*bufs, lengths[pr0:pr1])
                 if progress is not None:
                     reads_done += pr1 - pr0
                     kmers_est += int(np.maximum(
@@ -269,6 +272,17 @@ def count_reads_files_sharded(files: list[str], k: int, mesh,
                         0).sum())
                     progress(dict(path=path, reads=reads_done,
                                   kmers=kmers_est))
+
+            pending = None
+            for (r0, r1), tgt in zip(cuts, targets):
+                fut = pool.submit(_prepare, r0, r1, tgt)
+                if pending is not None:
+                    (pr0, pr1), pfut = pending
+                    _feed(pr0, pr1, pfut.result())
+                pending = ((r0, r1), fut)
+            if pending is not None:
+                (pr0, pr1), pfut = pending
+                _feed(pr0, pr1, pfut.result())
     keys, counts = counter.finish()
     if multi:
         n_reads = _allgather_sum(n_reads)

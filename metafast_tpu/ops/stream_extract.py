@@ -313,6 +313,15 @@ def stream3_words(lengths: np.ndarray, k: int) -> int:
     return int(((nw + 15) // 16).sum())
 
 
+def stream3_cols(lengths: np.ndarray, k: int,
+                 lane_multiple: int = LANE_TILE) -> int:
+    """Column count build_stream3 will emit — the lockstep analog of
+    stream_cols (multi-process callers allgather-max these)."""
+    W = stream3_words(np.asarray(lengths, dtype=np.int64), k)
+    n_cols = max(1, -(-W // ROWS))
+    return -(-n_cols // lane_multiple) * lane_multiple
+
+
 def build_stream3(codes: np.ndarray, lengths: np.ndarray, k: int,
                   lane_multiple: int = LANE_TILE, min_cols: int = 0):
     """Pack reads into compact (w0, w1, w2, vmask) word columns.

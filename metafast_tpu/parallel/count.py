@@ -257,6 +257,23 @@ def _sharded_stream_extract(words, vmask, *, k: int, mesh: Mesh,
                          out_specs=(P(AXIS), P(AXIS)))(words, vmask)
 
 
+@partial(jax.jit, static_argnames=("k", "mesh", "use_pallas"))
+def _sharded_stream3_extract(w0, w1, w2, vm, *, k: int, mesh: Mesh,
+                             use_pallas: bool):
+    """Compact 3-stream variant of _sharded_stream_extract (r5)."""
+    from ..ops.stream_extract import (stream3_extract_pallas,
+                                      stream3_extract_xla)
+
+    fn = stream3_extract_pallas if use_pallas else stream3_extract_xla
+
+    def step(a, b, c, v):
+        hi, lo = fn(a, b, c, v, k)
+        return hi.reshape(1, -1), lo.reshape(1, -1)
+
+    return jax.shard_map(step, mesh=mesh, in_specs=(P(AXIS),) * 4,
+                         out_specs=(P(AXIS), P(AXIS)))(w0, w1, w2, vm)
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def _sharded_count_flat(hi, lo, *, mesh: Mesh):
     return jax.shard_map(_wrap1(count_flat), mesh=mesh,
@@ -463,6 +480,33 @@ class ShardedKmerCounter:
         hi, lo = _sharded_stream_extract(words, vmask, k=self.k,
                                          mesh=self.mesh,
                                          use_pallas=use_pallas)
+        self._pending.append((hi, lo))
+        self._pending_n += hi.shape[1]
+        if self._pending_n >= self._chunk:
+            self._consolidate()
+
+    def add_stream3(self, w0, w1, w2, vm, lengths) -> None:
+        """add_stream over the compact 3-stream layout (build_stream3):
+        same lockstep contract, ~1.07 sorted slots per k-mer instead of
+        ~1.26 (r5; the per-shard count sorts are the scaling bound)."""
+        self._total_host += int(np.maximum(
+            np.asarray(lengths).astype(np.int64) - self.k + 1, 0).sum())
+        bufs = [w0, w1, w2, vm]
+        if self._multiproc:
+            nproc = jax.process_count()
+            out = []
+            for b in bufs:
+                b = np.asarray(b)
+                gshape = (b.shape[0] * nproc, b.shape[1])
+                out.append(jax.make_array_from_process_local_data(
+                    self._sharding, b, gshape))
+            bufs = out
+        else:
+            bufs = [jax.device_put(b, self._sharding) for b in bufs]
+        use_pallas = self.mesh.devices.flat[0].platform in ("tpu", "axon")
+        hi, lo = _sharded_stream3_extract(*bufs, k=self.k,
+                                          mesh=self.mesh,
+                                          use_pallas=use_pallas)
         self._pending.append((hi, lo))
         self._pending_n += hi.shape[1]
         if self._pending_n >= self._chunk:
