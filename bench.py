@@ -96,7 +96,6 @@ def main():
     from metafast_tpu import api
     from metafast_tpu.io import native_reads
     from metafast_tpu.ops.count import KmerCounter, _sort_pair
-    from metafast_tpu.ops.stream_extract import build_stream, stream_extract
     from metafast_tpu.utils.device import force_sync
 
     with tempfile.TemporaryDirectory() as td:

@@ -89,29 +89,31 @@ def neighbor_tables(khi, klo, k: int):
     is itself jitted.
     """
     sent = jnp.asarray(bp.is_sentinel(khi, klo))
+    vals = {side: _neighbor_values(khi, klo, k, side)
+            for side in ("left", "right")}
+    # ONE bounded sort-merge join over all 8 neighbor slots (both sides
+    # stacked): vs two per-side joins this sorts T+8M elements once
+    # instead of T+4M twice (~10% less join volume and half the
+    # dispatch chains).  Bounded verify: neighbor query keys repeat at
+    # most a handful of times (measured max 5 at k=11; each canonical
+    # key has <= 8 graph neighbors), so hits resolve with shifted
+    # compares instead of 2 random gathers per query — the overflow
+    # flag certifies the bound and falls back to the gather verify.
+    can_hi8 = jnp.concatenate([vals["left"][2], vals["right"][2]], axis=0)
+    can_lo8 = jnp.concatenate([vals["left"][3], vals["right"][3]], axis=0)
+    idx8, present8, flag = lookup.find_bounded(khi, klo, can_hi8, can_lo8)
+    if int(flag):
+        idx8, present8 = lookup.find(khi, klo, can_hi8, can_lo8)
     res = {}
-    flags = {}
-    for side in ("left", "right"):
-        val_hi, val_lo, can_hi, can_lo = _neighbor_values(khi, klo, k, side)
-        # bounded sort-merge verify: neighbor query keys repeat at most
-        # a handful of times (measured max 5 at k=11; each canonical key
-        # has <= 8 graph neighbors), so hits resolve with shifted
-        # compares instead of 2 random gathers per query — the overflow
-        # flag certifies the bound and falls back to the gather verify
-        idx, present, flag = lookup.find_bounded(khi, klo, can_hi, can_lo)
-        flags[side] = (flag, val_hi, val_lo, can_hi, can_lo)
+    for si, side in enumerate(("left", "right")):
+        val_hi, val_lo, can_hi, can_lo = vals[side]
+        idx = jax.lax.slice_in_dim(idx8, 4 * si, 4 * si + 4, axis=0)
+        present = jax.lax.slice_in_dim(present8, 4 * si, 4 * si + 4,
+                                       axis=0)
         is_fw, present, ext = _ext_codes(val_hi, val_lo, can_hi, can_lo,
                                          present, sent)
         res[side] = dict(val_hi=val_hi, val_lo=val_lo, idx=idx,
                          present=present, is_fw=is_fw, ext=ext)
-    # one deferred scalar sync checks both sides' duplicate bounds
-    for side, (flag, val_hi, val_lo, can_hi, can_lo) in flags.items():
-        if int(flag):
-            idx, present = lookup.find(khi, klo, can_hi, can_lo)
-            is_fw, present, ext = _ext_codes(val_hi, val_lo, can_hi,
-                                             can_lo, present, sent)
-            res[side] = dict(val_hi=val_hi, val_lo=val_lo, idx=idx,
-                             present=present, is_fw=is_fw, ext=ext)
     return res
 
 
