@@ -363,3 +363,29 @@ def test_sharded_contig_stage_in_pipeline(tmp_path):
     finally:
         api.set_default_mesh(None)
     assert sharded == single
+
+
+def test_sharded_stream3_matches_single_device():
+    """ShardedKmerCounter.add_stream3 (compact layout) == the
+    single-device counter on the same reads, across consolidations."""
+    import jax.numpy as jnp
+
+    from metafast_tpu.ops.count import KmerCounter
+    from metafast_tpu.ops.stream_extract import build_stream3
+    from metafast_tpu.parallel.count import ShardedKmerCounter
+
+    mesh = make_mesh(8)
+    k = 15
+    rng = np.random.default_rng(3)
+    sc = ShardedKmerCounter(k, mesh, chunk=1 << 14)
+    ref = KmerCounter(k)
+    for _ in range(3):
+        lens = rng.integers(k, 90, 400).astype(np.int32)
+        cs = rng.integers(0, 4, int(lens.sum()), dtype=np.uint8)
+        w0, w1, w2, vm, _ = build_stream3(cs, lens, k, lane_multiple=64)
+        sc.add_stream3(w0, w1, w2, vm, lens)
+        ref.add_stream(cs, lens)
+    sk, scnt = sc.finish()
+    rk, rc = ref.finish()
+    assert np.array_equal(sk, rk)
+    assert np.array_equal(scnt, rc)
