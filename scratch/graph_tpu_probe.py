@@ -90,14 +90,17 @@ def main():
         log(f"_ext_codes {side}: {time.perf_counter()-t0:.1f}s")
         t0 = time.perf_counter()
 
-    # piece 4: chain_from_tables
-    from metafast_tpu.graph.contigs import _chain_from_tables
+    # piece 4: succ + pointer doubling (r5: _chain_from_tables split
+    # into _succ_from_tables + _doubling; the walk path is the default)
+    from metafast_tpu.graph.contigs import _doubling, _succ_from_tables
     Lidx, Lisfw, Lext, _ = exts["left"]
     Ridx, Risfw, Rext, _ = exts["right"]
-    st = _chain_from_tables(dkhi, dklo, Lidx, Lisfw, Lext,
-                            Ridx, Risfw, Rext, K)
+    st = _succ_from_tables(dkhi, dklo, Lidx, Lisfw, Lext,
+                           Ridx, Risfw, Rext, K)
     force_sync(*[v for v in st.values()])
-    log(f"_chain_from_tables: {time.perf_counter()-t0:.1f}s")
+    o = _doubling(st["succ"])
+    force_sync(*o)
+    log(f"succ + doubling: {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
 
     # timed re-runs (cached compiles)
