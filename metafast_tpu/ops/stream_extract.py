@@ -119,11 +119,6 @@ def _window_math(w0, w1, w2, vm, k: int):
     return jnp.stack(his), jnp.stack(los)
 
 
-def _shift1(x, roll_rows):
-    """Next stream word within each column: rows shift up by one."""
-    return roll_rows(x, 1)
-
-
 def _kernel(k: int):
     def kern(w_ref, vm_ref, hi_ref, lo_ref):
         w0 = w_ref[:]
