@@ -21,7 +21,7 @@ thread-scheduling-dependent).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

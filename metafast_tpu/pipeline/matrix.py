@@ -29,7 +29,7 @@ Semantics locked by the golden fixture (test_data/meta_test_matrix.txt):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
