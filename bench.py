@@ -138,8 +138,10 @@ def main():
             return hi, lo, cnt
 
         table = device_only()                  # compile warm-up
-        times = [_timed(device_only) for _ in range(3)]
-        t_dev = sorted(times)[1]
+        # median of 5: the tunneled rig wobbles +-10% run to run, and the
+        # driver records a single bench invocation
+        times = [_timed(device_only) for _ in range(5)]
+        t_dev = sorted(times)[2]
         dev_rate = n_kmers / t_dev
 
         # ---- per-stage device breakdown of the counting path ----
