@@ -325,7 +325,7 @@ def _bench_graph_stages(table):
         return r
 
     _retry(contigs)                       # pre-warm all piece compiles
-    t = _timed_median(contigs, 2)
+    t = _timed_median(contigs, 3)
     out["contig_chain_ms"] = round(t * 1e3, 1)
     out["contig_chain_nodes_per_s"] = round(M / t, 1)
     out["contig_chain_nodes"] = M
@@ -340,7 +340,7 @@ def _bench_graph_stages(table):
         return walk_connected_labels(ghi, glo, K)
 
     _retry(comps)                         # pre-warm
-    t = _timed(comps)
+    t = _timed_median(comps, 3)
     out["components_labelprop_ms"] = round(t * 1e3, 1)
     out["components_labelprop_nodes_per_s"] = round(M / t, 1)
     out["components_labelprop_nodes"] = M
