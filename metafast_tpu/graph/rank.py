@@ -65,11 +65,16 @@ def _start_mask(succ):
 
 
 @jax.jit
-def _encode(succ, is_start):
-    """succ with the next-is-start stop bit folded in (-1 = terminal)."""
-    n = succ.shape[0]
-    nxt = jnp.clip(succ, 0, n - 1)
-    stop = is_start[nxt] & (succ >= 0)
+def _encode(succ):
+    """succ with the next-is-start stop bit folded in (-1 = terminal).
+
+    Gather-free: a successor always has a predecessor, so it can never
+    be an indegree-0 HEAD — the only way succ[v] is a walk start is the
+    hash sample, which is pure elementwise math on the successor id
+    (saves a full [n] gather vs is_start[succ])."""
+    h = succ.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    stop = ((h & jnp.uint32(_B - 1)) == 0) & (succ >= 0)
     return jnp.where(succ < 0, I32(-1),
                      jnp.where(stop, succ | _START_BIT, succ))
 
@@ -293,7 +298,7 @@ def chain_rank(succ, valid, need_rank: bool = True):
     n = int(succ.shape[0])
 
     is_start = _start_mask(succ) & valid
-    enc = _encode(succ, is_start)
+    enc = _encode(succ)
     s_count = int(jnp.sum(is_start))
     s_cap = _pow2(s_count + 1)
     starts = _compact_starts(is_start, s_cap)
