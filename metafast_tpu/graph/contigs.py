@@ -125,11 +125,23 @@ def _succ_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
     # (An interleaved 2*i+orient id needs an [M, 2] stack whose 2-wide
     # minor dim pads to 128 lanes on TPU.)
 
+    # One [3, M] stacked gather per index array instead of three singles:
+    # a multi-payload column gather moves k payloads at per-index cost
+    # (measured 80M elems/s for [2, n] vs 50M for singles, PERF.md
+    # section 1) — the succ derivation needs (extL, extR, pal) of four
+    # different index arrays, so this halves its gather time.
+    lut = jnp.stack([extL_fw, extR_fw, pal.astype(I32)])
+
+    def peek(j):
+        g = lut[:, jnp.clip(j, 0, M - 1)]
+        return g[0], g[1], g[2] != 0
+
     # --- successor of fw orientation -----------------------------------
     rn = extR_fw
     j_fw = pick(R["idx"], rn)
-    arr_is_fw = pick(R["is_fw"], rn) | pal[jnp.clip(j_fw, 0, M - 1)]
-    extL_arr = jnp.where(arr_is_fw, extL_fw[j_fw], dbg.ext_map_rc(extR_fw[j_fw]))
+    eL_fw, eR_fw, pal_fw = peek(j_fw)
+    arr_is_fw = pick(R["is_fw"], rn) | pal_fw
+    extL_arr = jnp.where(arr_is_fw, eL_fw, dbg.ext_map_rc(eR_fw))
     succ_fw_node = j_fw + jnp.where(arr_is_fw, 0, M)
     ok_fw = (rn >= 0) & (extL_arr != dbg.FORK) & (succ_fw_node != idx) & valid
     succ_fw = jnp.where(ok_fw, succ_fw_node, -1)
@@ -138,8 +150,9 @@ def _succ_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
     # extR(rc_i) maps from extL(fw_i); the successor is rc(left candidate m)
     m = extL_fw
     j_rc = pick(L["idx"], m)
-    arr_is_fw_rc = (~pick(L["is_fw"], m)) | pal[jnp.clip(j_rc, 0, M - 1)]
-    extL_arr_rc = jnp.where(arr_is_fw_rc, extL_fw[j_rc], dbg.ext_map_rc(extR_fw[j_rc]))
+    eL_rc, eR_rc, pal_rc = peek(j_rc)
+    arr_is_fw_rc = (~pick(L["is_fw"], m)) | pal_rc
+    extL_arr_rc = jnp.where(arr_is_fw_rc, eL_rc, dbg.ext_map_rc(eR_rc))
     succ_rc_node = j_rc + jnp.where(arr_is_fw_rc, 0, M)
     ok_rc = (m >= 0) & (extL_arr_rc != dbg.FORK) & (succ_rc_node != M + idx) & valid
     succ_rc = jnp.where(ok_rc, succ_rc_node, -1)
@@ -147,14 +160,16 @@ def _succ_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
     # --- start ("left end") detection ----------------------------------
     # fw: extL < 0, or predecessor (left step) has a right fork
     pj = pick(L["idx"], extL_fw)
+    eL_p, eR_p, _ = peek(pj)
     pred_is_fw = pick(L["is_fw"], extL_fw)
-    extR_pred = jnp.where(pred_is_fw, extR_fw[pj], dbg.ext_map_rc(extL_fw[pj]))
+    extR_pred = jnp.where(pred_is_fw, eR_p, dbg.ext_map_rc(eL_p))
     start_fw = ((extL_fw < 0) | (extR_pred == dbg.FORK)) & valid
 
     # rc: extL(rc) maps from extR(fw); predecessor is rc(right candidate rn)
     qj = pick(R["idx"], extR_fw)
-    predrc_is_fw = (~pick(R["is_fw"], extR_fw)) | pal[jnp.clip(qj, 0, M - 1)]
-    extR_predrc = jnp.where(predrc_is_fw, extR_fw[qj], dbg.ext_map_rc(extL_fw[qj]))
+    eL_q, eR_q, pal_q = peek(qj)
+    predrc_is_fw = (~pick(R["is_fw"], extR_fw)) | pal_q
+    extR_predrc = jnp.where(predrc_is_fw, eR_q, dbg.ext_map_rc(eL_q))
     start_rc = ((extR_fw < 0) | (extR_predrc == dbg.FORK)) & valid
 
     # --- concatenate to oriented nodes (fw block, then rc block) ---------
