@@ -185,6 +185,11 @@ def _succ_from_tables(khi, klo, L_idx, L_isfw, extL_fw,
 
 
 @jax.jit
+def _narrow_u8(x):
+    return x.astype(jnp.uint8)
+
+
+@jax.jit
 def _doubling(succ):
     """Wyllie pointer doubling over the successor forest (small / CPU
     path; large TPU tables use graph/rank.py splitter walks instead)."""
@@ -248,13 +253,29 @@ def build_contigs(keys64: np.ndarray, counts: np.ndarray, k: int,
 
     from ..utils.device import small_scope
     with small_scope(M * 16):
-        st = jax.device_get(
-            chain_structure(jnp.asarray(khi), jnp.asarray(klo), k))
-    term = np.asarray(st["term"])
-    dist = np.asarray(st["dist"])
-    reached = np.asarray(st["reached"])
-    is_start = np.asarray(st["is_start"])
-    last_nuc = np.asarray(st["last_nuc"])
+        st = chain_structure(jnp.asarray(khi), jnp.asarray(klo), k)
+        # fetch ONLY what the host assembly reads, with narrow dtypes
+        # and async copies: the naive device_get of the full dict moved
+        # ~113 MB over the tunneled link (~3.5 s of a 5.4 s stage —
+        # succ is unused here and last_nuc fits uint8)
+        fetch = {
+            "term": st["term"],
+            "dist": st["dist"],
+            "reached": st["reached"],
+            "is_start": st["is_start"],
+            "last_nuc": _narrow_u8(st["last_nuc"]),
+        }
+        for v in fetch.values():
+            try:
+                v.copy_to_host_async()
+            except Exception:
+                pass
+        st = {k2: np.asarray(v) for k2, v in fetch.items()}
+    term = st["term"]
+    dist = st["dist"]
+    reached = st["reached"]
+    is_start = st["is_start"]
+    last_nuc = st["last_nuc"]
 
     starts = np.nonzero(is_start & reached)[0]
     if len(starts) == 0:
